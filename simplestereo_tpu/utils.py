@@ -1,0 +1,192 @@
+"""
+utils
+=====
+
+Host-side helpers: geometry utilities, debug rendering and acquisition.
+
+Parity target: /root/reference/simplestereo/utils.py. The threaded video
+grabber is host-only by design (no TPU involvement); the drawing helpers are
+pure numpy so they do not pull OpenCV in.
+"""
+
+import threading
+import time
+
+import numpy as np
+
+
+def getCrossProductMatrix(v):
+    """3x3 antisymmetric matrix [v]_x representing cross product with ``v``.
+
+    Parity: reference utils.py:213-232 (which returns float32; we keep
+    float64 for downstream rectification accuracy).
+    """
+    v = np.asarray(v, np.float64).ravel()
+    return np.array(
+        [[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]], dtype=np.float64
+    )
+
+
+def moveExtrinsicOriginToFirstCamera(R1, R2, t1, t2):
+    """Re-center two cameras' extrinsics into the first camera's frame.
+
+    Given world->camera transforms (R1, t1), (R2, t2), returns the relative
+    (R, T) from camera 1 to camera 2 as used by :class:`StereoRig`.
+    Parity: reference utils.py:184-210.
+    """
+    R1 = np.asarray(R1, np.float64)
+    R2 = np.asarray(R2, np.float64)
+    t1 = np.asarray(t1, np.float64).reshape(-1, 1)
+    t2 = np.asarray(t2, np.float64).reshape(-1, 1)
+    R = R2 @ R1.T
+    t = t2 - R @ t1
+    return R, t
+
+
+def drawLine(img, pt1, pt2, color=(0, 0, 255), thickness=1):
+    """Rasterize a line segment into ``img`` in place (numpy Bresenham).
+
+    Minimal replacement for ``cv2.line`` used by the epipolar debug helper.
+    """
+    h, w = img.shape[:2]
+    x0, y0 = int(round(pt1[0])), int(round(pt1[1]))
+    x1, y1 = int(round(pt2[0])), int(round(pt2[1]))
+    n = max(abs(x1 - x0), abs(y1 - y0), 1)
+    xs = np.linspace(x0, x1, n + 1).round().astype(int)
+    ys = np.linspace(y0, y1, n + 1).round().astype(int)
+    r = max(int(thickness) // 2, 0)
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            xd = np.clip(xs + dx, 0, w - 1)
+            yd = np.clip(ys + dy, 0, h - 1)
+            inside = (xs + dx >= 0) & (xs + dx < w) & (ys + dy >= 0) & (ys + dy < h)
+            img[yd[inside], xd[inside]] = color
+    return img
+
+
+def drawCorrespondingEpipolarLines(img1, img2, F, x1=None, x2=None,
+                                   color=(0, 0, 255), thickness=1):
+    """Draw corresponding epipolar lines on an (undistorted) image pair.
+
+    For each point in ``x1`` the epipolar line ``F @ p`` is drawn on image 2,
+    and the back-correspondence on image 1 (and symmetrically for ``x2``).
+    In-place, like the reference (utils.py:235-302).
+    """
+    F = np.asarray(F, np.float64)
+    x1 = x1 or []
+    x2 = x2 or []
+
+    def draw_on(img, line):
+        line = np.asarray(line, np.float64).ravel()
+        h, w = img.shape[:2]
+        if abs(line[1]) < 1e-12:  # vertical
+            x = -line[2] / line[0]
+            p_from, p_to = (x, 0), (x, h)
+        else:
+            p_from = (0, -line[2] / line[1])
+            p_to = (w, -(line[0] * w + line[2]) / line[1])
+        drawLine(img, p_from, p_to, color=color, thickness=thickness)
+        return ((p_from[0] + p_to[0]) / 2, (p_from[1] + p_to[1]) / 2)
+
+    for x in x1:
+        p = np.array([x[0], x[1], 1.0])
+        k = draw_on(img2, F @ p)
+        draw_on(img1, F.T @ np.array([k[0], k[1], 1.0]))
+    for x in x2:
+        p = np.array([x[0], x[1], 1.0])
+        k = draw_on(img1, F.T @ p)
+        draw_on(img2, F @ np.array([k[0], k[1], 1.0]))
+
+
+class Capture:
+    """Threaded continuous frame grabber with pluggable sources.
+
+    TPU-free host-side acquisition, mirroring the reference's ``Capture``
+    (utils.py:13-181) which wraps ``cv2.VideoCapture``: a background thread
+    continuously grabs the newest frame so ``get()`` never returns a stale
+    buffered one. Since this framework does not depend on OpenCV, the source
+    is either:
+
+    - a callable returning the next frame as a numpy array (camera driver,
+      network stream, ...), or
+    - a list/iterable of image file paths (decoded with Pillow), or
+    - a directory path (all images inside, sorted).
+
+    Use as a context manager, or call :meth:`start` / :meth:`stop`.
+    """
+
+    def __init__(self, source, loop=True):
+        self._frame = None
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread = None
+        self.loop = loop
+
+        if callable(source):
+            self._next = source
+        else:
+            import os
+            if isinstance(source, (str, bytes)) and os.path.isdir(source):
+                exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+                files = sorted(
+                    os.path.join(source, f)
+                    for f in os.listdir(source)
+                    if f.lower().endswith(exts)
+                )
+            else:
+                files = list(source)
+            self._files = files
+            self._idx = 0
+
+            def next_frame():
+                from PIL import Image
+                if self._idx >= len(self._files):
+                    if not self.loop or not self._files:
+                        return None
+                    self._idx = 0
+                path = self._files[self._idx]
+                self._idx += 1
+                img = np.asarray(Image.open(path))
+                if img.ndim == 3 and img.shape[2] >= 3:
+                    img = img[:, :, 2::-1]  # RGB -> BGR, OpenCV-compatible
+                return img
+
+            self._next = next_frame
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def start(self):
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._spin, daemon=True)
+        self._thread.start()
+
+    def _spin(self):
+        while self._running:
+            frame = self._next()
+            if frame is None:
+                time.sleep(0.005)
+                continue
+            with self._lock:
+                self._frame = frame
+
+    def get(self):
+        """Latest grabbed frame (or None if nothing arrived yet)."""
+        with self._lock:
+            return None if self._frame is None else self._frame.copy()
+
+    def getResolution(self):
+        f = self.get()
+        return None if f is None else (f.shape[1], f.shape[0])
+
+    def stop(self):
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=1.0)
+            self._thread = None
