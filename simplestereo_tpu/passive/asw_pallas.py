@@ -1,0 +1,282 @@
+"""
+asw_pallas
+==========
+
+Production Pallas/TPU kernel for the Adaptive Support-Weight matcher.
+
+Replaces the reference's C++ thread-pool kernel
+(/root/reference/simplestereo/_passive.cpp: workerASW :16-105,
+workerASWconsistent :108-289, computeASW :293-400) with a TPU-first design:
+
+- **Grid over row bands.** The reference drains a ``SafeQueue`` of row
+  indices with ``std::thread``s; here a 1-D Pallas grid assigns each program
+  a band of ``TILE_H`` output rows. Input planes stay in HBM and each
+  program DMAs its (TILE_H + winSize-1)-row halo slab into VMEM once, so
+  HBM traffic is O(image), not O(image * window).
+- **Validity by sentinel padding, not branches.** The reference skips
+  out-of-image window pixels with ``if`` tests. Out-of-image Lab samples
+  are padded with a large sentinel so their support weight
+  ``exp(-||dLab||/gammaC)`` underflows to exactly 0 — the same exclusion,
+  branch-free and fully vectorized on the VPU.
+- **Lane-rotation window walk.** Mosaic cannot vector-load at dynamic
+  sublane offsets, so the window loop is structured as: dynamic *lane*
+  rotation (``pltpu.roll``) over the column offset j in a ``fori_loop``,
+  with the row offset i as a static unroll (static sublane slices).
+  Rolled-in wrap values land either on sentinel-weighted (w=0) window
+  pixels or on masked-out disparity candidates, so no masking ops are
+  needed in the hot loop.
+- **Weight factorization.** w = exp(-(dl1+dl2)/gC) = exp(-dl1/gC) *
+  exp(-dl2/gC): the target-image factor is computed once per window offset
+  and reused for every disparity candidate via a static lane rotation, so
+  the inner disparity loop is pure multiply-accumulate.
+- **Tie-break parity**: first-minimum argmin over the ascending disparity
+  axis == the reference's reverse-d scan with strict '<' (smallest d wins).
+
+The consistent (left-right checked) variant runs the same kernel twice —
+the right-reference pass is the left pass on x-flipped images — then
+invalidation and occlusion fill are cheap O(H*W) jnp post-passes
+(see :func:`simplestereo_tpu.passive.asw_ref.occlusion_fill`).
+
+On non-TPU backends the kernel runs in Pallas interpreter mode, which is
+how the unit tests validate it bit-for-bit against the pure-jnp oracle.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lab import bgr_to_lab
+from .asw_ref import occlusion_fill
+
+TAD_CAP = 40.0
+LAB_SENTINEL = 1.0e6  # exp(-sentinel/gammaC) underflows to exactly 0.0
+TILE_H = 16
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _layout(W, win_size):
+    """(accumulator width, slab width), both 128-aligned."""
+    pad = win_size // 2
+    w_acc = _round_up(W, 128)
+    w_slab = _round_up(w_acc + 2 * pad, 128)
+    return w_acc, w_slab
+
+
+def _slab_rows(win_size):
+    # DMA slice row counts must be 8-aligned (HBM sublane tiling).
+    return _round_up(TILE_H + 2 * (win_size // 2), 8)
+
+
+def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
+                pad, w_acc, w_slab, min_disp, max_disp, gamma_c, win_size):
+    """One program = one band of ``TILE_H`` output rows.
+
+    prox_ref : (win, win) f32 in SMEM — exp(-2*sqrt(di^2+dj^2)/gammaP).
+    planes_hbm : (12, Hp, w_slab) f32 in HBM/ANY —
+        [0:3] Lab(ref), [3:6] Lab(tgt), [6:9] BGR(ref), [9:12] BGR(tgt);
+        Lab planes sentinel-padded, BGR zero-padded. Slab column c maps to
+        accumulator lane c - pad; accumulator lane l maps to image column l.
+    disp_ref : (TILE_H, w_acc) i32 output block.
+    """
+    D = max_disp - min_disp + 1
+    th = TILE_H
+    b = pl.program_id(0)
+
+    cp = pltpu.make_async_copy(
+        planes_hbm.at[:, pl.ds(b * th, _slab_rows(win_size)), :], slab, sem)
+    cp.start()
+    cp.wait()
+
+    # TAD volume over the whole slab (halo rows included):
+    # tad[dd](r, c) = min(40, SAD(ref(r, c), tgt(r, c - d))).
+    for dd in range(D):
+        d = min_disp + dd
+        sad = jnp.zeros((_slab_rows(win_size), w_slab), jnp.float32)
+        for c in range(3):
+            sad = sad + jnp.abs(slab[6 + c] - pltpu.roll(slab[9 + c], d, axis=1))
+        tad[dd] = jnp.minimum(sad, TAD_CAP)
+
+    zeros = jnp.zeros((D, th, w_acc), jnp.float32)
+    num[...] = zeros
+    den[...] = zeros
+
+    inv_gc = 1.0 / gamma_c
+
+    # Center (unshifted) Lab slices, hoisted out of the window loop.
+    ctr = [slab[c, pad:pad + th, pad:pad + w_acc] for c in range(6)]
+
+    def col_body(j, _):
+        shift = pad - j  # rolled[c] = plane[c + (j - pad)]
+        rolled = [pltpu.roll(slab[c], shift, axis=1) for c in range(6)]
+        tadr = [pltpu.roll(tad[dd], shift, axis=1) for dd in range(D)]
+
+        for i in range(win_size):  # static: sublane slices must be static
+            def lab_sim(base):
+                dsq = jnp.zeros((th, w_acc), jnp.float32)
+                for c in range(3):
+                    dlt = (rolled[base + c][i:i + th, pad:pad + w_acc]
+                           - ctr[base + c])
+                    dsq = dsq + dlt * dlt
+                return jnp.exp(-jnp.sqrt(dsq) * inv_gc)
+
+            prox2 = prox_ref[i, j]
+            e1 = lab_sim(0) * prox2
+            e2 = lab_sim(3)
+
+            for dd in range(D):
+                d = min_disp + dd
+                w = e1 * pltpu.roll(e2, d, axis=1)
+                t = tadr[dd][i:i + th, pad:pad + w_acc]
+                num[dd] = num[dd] + w * t
+                den[dd] = den[dd] + w
+        return 0
+
+    jax.lax.fori_loop(0, win_size, col_body, 0)
+
+    # den >= 1 always (the center window pixel has weight exp(0)=1), so the
+    # division is safe even on fully-padded rows/columns.
+    cost = num[...] / den[...]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (D, th, w_acc), 2)
+    dcand = jax.lax.broadcasted_iota(jnp.int32, (D, th, w_acc), 0) + min_disp
+    cost = jnp.where(lanes >= dcand, cost, jnp.inf)   # x - d >= 0
+    disp_ref[...] = jnp.argmin(cost, axis=0).astype(jnp.int32) + min_disp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "win_size", "min_disp", "max_disp",
+                     "gamma_c", "gamma_p", "interpret"))
+def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
+              interpret):
+    """Left-reference matching pass. planes: (12, Hp, w_slab) f32 padded."""
+    pad = win_size // 2
+    D = max_disp - min_disp + 1
+    w_acc, w_slab = _layout(W, win_size)
+    n_bands = -(-H // TILE_H)
+
+    offs = jnp.arange(win_size, dtype=jnp.float32) - pad
+    dist = jnp.sqrt(offs[:, None] ** 2 + offs[None, :] ** 2)
+    prox2 = jnp.exp(-2.0 * dist / gamma_p)
+
+    kernel = functools.partial(
+        _asw_kernel, pad=pad, w_acc=w_acc, w_slab=w_slab,
+        min_disp=min_disp, max_disp=max_disp,
+        gamma_c=float(gamma_c), win_size=win_size)
+
+    disp = pl.pallas_call(
+        kernel,
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_H, w_acc), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_bands * TILE_H, w_acc), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((12, _slab_rows(win_size), w_slab), jnp.float32),
+            pltpu.VMEM((D, _slab_rows(win_size), w_slab), jnp.float32),
+            pltpu.VMEM((D, TILE_H, w_acc), jnp.float32),
+            pltpu.VMEM((D, TILE_H, w_acc), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=H * w_acc * win_size * win_size * (20 + 4 * D),
+            bytes_accessed=planes.size * 4,
+            transcendentals=H * w_acc * win_size * win_size * 3),
+        interpret=interpret,
+    )(prox2, planes)
+    return disp[:H, :W]
+
+
+def _build_planes(img1, img2, win_size, w_acc, w_slab):
+    pad = win_size // 2
+    """Stack sentinel-padded Lab + zero-padded BGR planes, (12, Hp, w_slab)."""
+    H, W = img1.shape[:2]
+    n_bands = -(-H // TILE_H)
+    h_slab = (n_bands - 1) * TILE_H + _slab_rows(win_size)
+
+    f1 = img1.astype(jnp.float32)
+    f2 = img2.astype(jnp.float32)
+    lab1 = bgr_to_lab(img1)
+    lab2 = bgr_to_lab(img2)
+
+    def pack(arr, fill):
+        # (H, W, 3) -> (3, h_slab, w_slab); slab col c = image col c - pad
+        a = jnp.transpose(arr, (2, 0, 1))
+        return jnp.pad(
+            a, ((0, 0), (pad, h_slab - H - pad), (pad, w_slab - W - pad)),
+            constant_values=fill)
+
+    return jnp.concatenate([
+        pack(lab1, LAB_SENTINEL), pack(lab2, LAB_SENTINEL),
+        pack(f1, 0.0), pack(f2, 0.0)], axis=0)
+
+
+def _auto_interpret():
+    return jax.default_backend() != "tpu"
+
+
+def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
+                  gamma_c=5.0, gamma_p=17.5, consistent=False,
+                  interpret=None):
+    """ASW disparity map on TPU (Pallas production path).
+
+    Parameters mirror the reference ``StereoASW``
+    (/root/reference/simplestereo/passive.py:59-69); semantics are validated
+    against :func:`simplestereo_tpu.passive.asw_ref.asw_disparity_ref`.
+
+    Returns
+    -------
+    jnp.ndarray
+        (H, W) int16 disparity; -1 never appears (consistent mode fills
+        occlusions like the reference).
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    img1 = jnp.asarray(img1)
+    img2 = jnp.asarray(img2)
+    H, W = img1.shape[:2]
+    pad = win_size // 2
+    w_acc, w_slab = _layout(W, win_size)
+    xs = jnp.arange(W)
+
+    kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
+              gamma_c=float(gamma_c), gamma_p=float(gamma_p),
+              interpret=interpret)
+
+    planesL = _build_planes(img1, img2, win_size, w_acc, w_slab)
+    dispL = _asw_pass(planesL, H=H, W=W, **kw)
+    # Empty candidate range (x < min_disp): the reference outputs the pixel's
+    # own column index (dBest stays 0 -> disparity x - 0).
+    dispL = jnp.where(xs[None, :] < min_disp, xs[None, :], dispL)
+
+    if not consistent:
+        return dispL.astype(jnp.int16)
+
+    # Right-reference pass == left pass on x-flipped images with the roles
+    # swapped: (ref, tgt) = (flip(img2), flip(img1)).
+    planesR = _build_planes(img2[:, ::-1], img1[:, ::-1], win_size, w_acc, w_slab)
+    dispRf = _asw_pass(planesR, H=H, W=W, **kw)
+    dispR = dispRf[:, ::-1]
+    # Empty range on the right pass: dBest stays 0 there too, which in
+    # right-image coordinates means matched left column 0, disparity -x.
+    xs_f = xs[None, :]
+    dispR = jnp.where((W - 1 - xs_f) < min_disp, -xs_f, dispR)
+
+    # Invalidate left pixels whose right-pass match disagrees
+    # (_passive.cpp:191-253), then fill -1 runs (_passive.cpp:258-285).
+    L = jnp.clip(xs_f + dispR, 0, W - 1)
+    agree = jnp.take_along_axis(dispL, L, axis=1) == dispR
+    disagree = jnp.zeros((H, W), bool)
+    disagree = jax.vmap(lambda f, l, a: f.at[l].max(~a))(disagree, L, agree)
+    dispI = jnp.where(disagree, -1, dispL)
+    return occlusion_fill(dispI).astype(jnp.int16)

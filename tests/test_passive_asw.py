@@ -1,0 +1,88 @@
+"""ASW matcher: Pallas kernel vs pure-jnp oracle, API, and Tsukuba quality.
+
+The Pallas kernel runs in interpreter mode on CPU (see conftest); parity
+with the oracle is allowed a <=0.5% mismatch budget for float-order ties
+(degenerate windows where every TAD hits the cap produce costs equal up to
+ULPs; the argmin then depends on accumulation order, as it also does
+between the reference C++ and any reimplementation).
+"""
+
+import numpy as np
+import pytest
+
+import simplestereo_tpu as ss
+from simplestereo_tpu.passive import (
+    StereoASW, asw_disparity, asw_disparity_ref, occlusion_fill)
+
+
+def _pair(rng, h=21, w=37, shift=3):
+    img1 = rng.integers(0, 256, (h, w, 3), np.uint8)
+    img2 = np.roll(img1, -shift, axis=1)
+    return img1, img2
+
+
+@pytest.mark.parametrize("consistent", [False, True])
+@pytest.mark.parametrize("min_disp,max_disp,win", [(1, 6, 7), (0, 4, 5)])
+def test_pallas_matches_oracle(rng, consistent, min_disp, max_disp, win):
+    img1, img2 = _pair(rng)
+    a = np.asarray(asw_disparity_ref(
+        img1, img2, win_size=win, max_disp=max_disp, min_disp=min_disp,
+        consistent=consistent))
+    b = np.asarray(asw_disparity(
+        img1, img2, win_size=win, max_disp=max_disp, min_disp=min_disp,
+        consistent=consistent))
+    assert a.shape == b.shape == img1.shape[:2]
+    assert b.dtype == np.int16
+    mismatch = (a != b).mean()
+    assert mismatch <= 0.005, f"pallas/oracle mismatch {mismatch:.2%}"
+
+
+def test_recovers_known_shift(rng):
+    img1, img2 = _pair(rng, h=24, w=48, shift=3)
+    d = np.asarray(asw_disparity(img1, img2, win_size=5, max_disp=6))
+    inner = d[5:-5, 8:-8]
+    assert (inner == 3).mean() > 0.95
+
+
+def test_stereo_asw_class_api(rng):
+    img1, img2 = _pair(rng)
+    m = ss.passive.StereoASW(winSize=7, maxDisparity=6, minDisparity=1,
+                             consistent=True)
+    out = m.compute(img1, img2)
+    assert out.shape == img1.shape[:2] and out.dtype == np.int16
+    assert (out >= -1).all()
+
+    with pytest.raises(ValueError):
+        StereoASW(winSize=8)
+    with pytest.raises(ValueError):
+        m.compute(img1[..., 0], img2[..., 0])
+
+
+def test_occlusion_fill_semantics():
+    # Parity: _passive.cpp:258-285 (min of nearest valid neighbors).
+    row = np.array([[5, -1, -1, 3, -1, 7]], np.int32)
+    out = np.asarray(occlusion_fill(row))
+    assert out.tolist() == [[5, 3, 3, 3, 3, 7]]
+    # Border runs take the single available side.
+    row = np.array([[-1, -1, 4, -1]], np.int32)
+    assert np.asarray(occlusion_fill(row)).tolist() == [[4, 4, 4, 4]]
+    # All-invalid row stays -1 (defined behavior; reference reads OOB).
+    row = np.array([[-1, -1]], np.int32)
+    assert np.asarray(occlusion_fill(row)).tolist() == [[-1, -1]]
+
+
+@pytest.mark.slow
+def test_tsukuba_quality(tsukuba):
+    """bad-2.0 on non-occluded pixels must stay in the reference's ballpark.
+
+    examples/010 params: winSize=35, minD=4, maxD=14, gammaC=15,
+    gammaP=17.5, consistent=True. Middlebury groundtruth.png is disparity
+    x16. (Interpreter-mode on CPU: a few minutes.)
+    """
+    disp = np.asarray(asw_disparity(
+        tsukuba["left"], tsukuba["right"], win_size=35, min_disp=4,
+        max_disp=14, gamma_c=15.0, gamma_p=17.5, consistent=True))
+    gt = tsukuba["gt"].astype(np.float32) / 16.0
+    mask = tsukuba["nonocc"] > 0
+    bad = (np.abs(disp - gt) > 2.0) & mask
+    assert bad.sum() / mask.sum() < 0.05
