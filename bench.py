@@ -1,0 +1,71 @@
+"""Benchmark: ASW dense matching on Tsukuba (the reference's headline task).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpix*disp/s", "vs_baseline": N}
+
+Baseline: the reference C++ thread-pool ASW does the full 384x288,
+11-candidate, winSize=35 consistent scan in <1 s on 4 CPU threads
+(/root/reference/simplestereo/passive.py:53-56; see BASELINE.md) =
+1.33 Mpix*disp/s. Same parameters as the reference's
+examples/010 StereoMatchingTsukuba.py:29.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from simplestereo_tpu.imgio import imread
+    from simplestereo_tpu.passive.asw_pallas import asw_disparity
+
+    d = "/root/reference/examples/res/tsukuba/"
+    try:
+        left = imread(d + "tsukuba_l.png")
+        right = imread(d + "tsukuba_r.png")
+        gt = imread(d + "groundtruth.png", grayscale=True)
+        nonocc = imread(d + "nonocc.png", grayscale=True)
+    except Exception:
+        rng = np.random.default_rng(0)
+        left = rng.integers(0, 256, (288, 384, 3), np.uint8)
+        right = np.roll(left, -5, axis=1)
+        gt = nonocc = None
+
+    kw = dict(win_size=35, min_disp=4, max_disp=14, gamma_c=15.0,
+              gamma_p=17.5, consistent=True)
+
+    disp = asw_disparity(left, right, **kw)
+    disp.block_until_ready()  # compile + warmup
+
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        disp = asw_disparity(left, right, **kw)
+    disp.block_until_ready()
+    dt = (time.perf_counter() - t0) / n
+
+    H, W = left.shape[:2]
+    D = kw["max_disp"] - kw["min_disp"] + 1
+    mpixdisp = H * W * D / dt / 1e6
+
+    extra = {}
+    if gt is not None:
+        dn = np.asarray(disp)
+        mask = nonocc > 0
+        bad = (np.abs(dn - gt.astype(np.float32) / 16.0) > 2.0) & mask
+        extra["bad2_nonocc"] = round(float(bad.sum() / mask.sum()), 4)
+
+    baseline = 1.33  # Mpix*disp/s (reference, 4 CPU threads)
+    print(json.dumps({
+        "metric": "asw_tsukuba_consistent_throughput",
+        "value": round(mpixdisp, 2),
+        "unit": "Mpix*disp/s",
+        "vs_baseline": round(mpixdisp / baseline, 2),
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -197,9 +197,16 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
     return disp[:H, :W]
 
 
-def _build_planes(img1, img2, win_size, w_acc, w_slab):
+def _build_planes(img1, img2, win_size, w_acc, w_slab, row_valid=None):
+    """Stack sentinel-padded Lab + zero-padded BGR planes, (12, Hp, w_slab).
+
+    row_valid : optional (H,) bool — rows marked False are treated exactly
+        like out-of-image rows (sentinel Lab / zero BGR). Used by
+        :mod:`simplestereo_tpu.parallel` so that halo rows received at the
+        *global* image boundary of a sharded run keep single-device
+        semantics.
+    """
     pad = win_size // 2
-    """Stack sentinel-padded Lab + zero-padded BGR planes, (12, Hp, w_slab)."""
     H, W = img1.shape[:2]
     n_bands = -(-H // TILE_H)
     h_slab = (n_bands - 1) * TILE_H + _slab_rows(win_size)
@@ -212,6 +219,8 @@ def _build_planes(img1, img2, win_size, w_acc, w_slab):
     def pack(arr, fill):
         # (H, W, 3) -> (3, h_slab, w_slab); slab col c = image col c - pad
         a = jnp.transpose(arr, (2, 0, 1))
+        if row_valid is not None:
+            a = jnp.where(row_valid[None, :, None], a, fill)
         return jnp.pad(
             a, ((0, 0), (pad, h_slab - H - pad), (pad, w_slab - W - pad)),
             constant_values=fill)
@@ -227,7 +236,7 @@ def _auto_interpret():
 
 def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
                   gamma_c=5.0, gamma_p=17.5, consistent=False,
-                  interpret=None):
+                  interpret=None, row_valid=None):
     """ASW disparity map on TPU (Pallas production path).
 
     Parameters mirror the reference ``StereoASW``
@@ -253,7 +262,7 @@ def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
               gamma_c=float(gamma_c), gamma_p=float(gamma_p),
               interpret=interpret)
 
-    planesL = _build_planes(img1, img2, win_size, w_acc, w_slab)
+    planesL = _build_planes(img1, img2, win_size, w_acc, w_slab, row_valid)
     dispL = _asw_pass(planesL, H=H, W=W, **kw)
     # Empty candidate range (x < min_disp): the reference outputs the pixel's
     # own column index (dBest stays 0 -> disparity x - 0).
@@ -264,7 +273,8 @@ def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
 
     # Right-reference pass == left pass on x-flipped images with the roles
     # swapped: (ref, tgt) = (flip(img2), flip(img1)).
-    planesR = _build_planes(img2[:, ::-1], img1[:, ::-1], win_size, w_acc, w_slab)
+    planesR = _build_planes(img2[:, ::-1], img1[:, ::-1], win_size, w_acc,
+                            w_slab, row_valid)
     dispRf = _asw_pass(planesR, H=H, W=W, **kw)
     dispR = dispRf[:, ::-1]
     # Empty range on the right pass: dBest stays 0 there too, which in
