@@ -19,6 +19,7 @@ import numpy as np
 from .lab import bgr_to_lab
 from .asw_ref import asw_disparity_ref, occlusion_fill
 from .asw_pallas import asw_disparity
+from .sgm import StereoSGM, StereoSGBM_create, filter_speckles
 
 
 class StereoASW:
@@ -80,4 +81,7 @@ __all__ = [
     "asw_disparity_ref",
     "occlusion_fill",
     "StereoASW",
+    "StereoSGM",
+    "StereoSGBM_create",
+    "filter_speckles",
 ]
