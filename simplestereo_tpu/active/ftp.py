@@ -1,0 +1,421 @@
+"""
+ftp
+===
+
+Stereo Fourier Transform Profilometry (modified FTP with a virtual
+reference plane) and its variants.
+
+Parity target: /root/reference/simplestereo/active.py:351-841 (StereoFTP),
+:844-1128 (StereoFTPAnaglyph), :1266-1450 (StereoFTP_Mapping),
+:1703-2074 (StereoFTP_PhaseOnly). Method: P. Lafiosca et al., "Automated
+Aircraft Dent Inspection via a Modified Fourier Transform Profilometry
+Algorithm", Sensors 22(2):433, 2022.
+
+TPU-first split:
+
+- dense work — camera undistortion, the projector-mapping grid, cubic
+  remap of the virtual reference, the per-row FFT / band-pass / inverse
+  FFT / phase pipeline — runs as jitted XLA programs (jnp.fft on rows is
+  an ideal TPU fit);
+- small control-plane geometry (stripe triangulation, per-row carrier
+  frequency, the k-offset estimate) stays host-side float64 numpy.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .patterns import _getCentralPeak
+from .stripe import findCentralStripe
+from ..geometry import npgeom
+from ..geometry.distortion import distort_normalized, pad_dist_coeffs
+from .. import warp
+from .. import rectification
+from .. import unwrapping
+
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def _projector_mapping_device(z, M, T, K2, dist2, fringe_gray, res):
+    """Dense camera-grid -> projector mapping + virtual reference image.
+
+    Implements the reference's double-grid trick (active.py:432-492): the
+    linear map M = R @ K1^-1 sends camera pixel homogeneous coords to rays;
+    scaling by z puts them on the reference plane; projecting through the
+    projector (with its distortion) gives, for the half-pixel-centered
+    grid, the exact projector coordinates, and for the integer grid, the
+    sampling map of the virtual reference image.
+    """
+    w, h = res
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)            # (h, w)
+
+    def project(gx, gy):
+        p = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)   # (h, w, 3)
+        q = z * jnp.einsum("ij,hwj->hwi", M, p) + T[None, None, :]
+        xy = q[..., :2] / q[..., 2:3]
+        xyd = distort_normalized(xy.reshape(-1, 2), dist2).reshape(h, w, 2)
+        u = K2[0, 0] * xyd[..., 0] + K2[0, 1] * xyd[..., 1] + K2[0, 2]
+        v = K2[1, 1] * xyd[..., 1] + K2[1, 2]
+        return u, v
+
+    # half-pixel grid -> exact projector coordinates
+    uc, vc = project(gx + 0.5, gy + 0.5)
+    proj_coords = jnp.stack([uc, vc], axis=-1)
+    # integer grid -> virtual reference image resampling map
+    ui, vi = project(gx, gy)
+    virtual_ref = warp.remap(fringe_gray, ui, vi, interpolation="cubic")
+    return proj_coords, virtual_ref
+
+
+@jax.jit
+def _phase_pipeline(img_obj, img_ref, fmin, fmax):
+    """Row-FFT band-pass phase extraction (active.py:679-737).
+
+    img_obj, img_ref : (H, W) float grayscale; fmin, fmax: (H,) per-row
+    band edges in cycles/pixel. Returns the wrapped phase difference.
+    """
+    G0 = jnp.fft.fft(img_ref.astype(jnp.complex64), axis=1)
+    G = jnp.fft.fft(img_obj.astype(jnp.complex64), axis=1)
+    freqs = jnp.fft.fftfreq(img_obj.shape[1]).astype(jnp.float32)
+    keep = ((freqs[None, :] - fmin[:, None] >= 0)
+            & (freqs[None, :] - fmax[:, None] <= 0))
+    G0 = jnp.where(keep, G0, 0)
+    G = jnp.where(keep, G, 0)
+    g0hat = jnp.fft.ifft(G0, axis=1)
+    ghat = jnp.fft.ifft(G, axis=1)
+    return jnp.angle(ghat * jnp.conjugate(g0hat))
+
+
+@jax.jit
+def _unwrap2d(phase):
+    """np.unwrap along x then along y (active.py:739-743)."""
+    p = unwrapping.unwrap(phase, axis=1)
+    return unwrapping.unwrap(p, axis=0)
+
+
+class StereoFTP:
+    """Stereo Fourier Transform Profilometry manager.
+
+    Parameters (parity: active.py:379-401)
+    ----------
+    stereoRig : StereoRig
+        Camera in position 1 (world origin), projector in position 2.
+    fringe : numpy.ndarray
+        The projected BGR fringe image (built by
+        :func:`simplestereo_tpu.active.buildFringe` with a central stripe).
+    period : float
+        Fringe period on the projector, in pixels.
+    shift, stripeColor, stripeSensitivity : see the reference.
+    """
+
+    def __init__(self, stereoRig, fringe, period, shift=0,
+                 stripeColor="red", stripeSensitivity=0.5):
+        self.stereoRig = stereoRig
+        fringe = np.asarray(fringe)
+        self.fringe = self.convertGrayscale(fringe)
+        self.fringeDims = fringe.shape[:2][::-1]
+        self.fp = 1.0 / period
+        self.stripeColor = stripeColor
+        self.stripeSensitivity = stripeSensitivity
+        self.stripeCentralPeak = _getCentralPeak(
+            self.fringeDims[0], period, shift)
+        self.F = np.asarray(stereoRig.getFundamentalMatrix(), np.float64)
+        self.Rectify1, self.Rectify2, commonR = \
+            rectification._lowLevelRectify(stereoRig)
+        # epipole on the projector: camera center projected to it
+        ep = np.asarray(stereoRig.intrinsic2, np.float64) @ \
+            np.asarray(stereoRig.T, np.float64).reshape(3, 1)
+        self.ep = (ep / ep[2]).ravel()
+        R_inv = np.eye(4)
+        R_inv[:3, :3] = np.linalg.inv(commonR)
+        self.R_inv = R_inv
+
+    @staticmethod
+    def convertGrayscale(img):
+        """Max over channels: keeps the stripe white (active.py:404-429)."""
+        img = np.asarray(img)
+        if img.ndim == 2:
+            return img.astype(np.float64)
+        return np.max(img, axis=2).astype(np.float64)
+
+    # -- internals ---------------------------------------------------------
+
+    def _getProjectorMapping(self, z):
+        rig = self.stereoRig
+        M = (np.asarray(rig.R, np.float64)
+             @ np.linalg.inv(np.asarray(rig.intrinsic1, np.float64)))
+        proj_coords, virtual_ref = _projector_mapping_device(
+            jnp.float32(z), jnp.asarray(M, jnp.float32),
+            jnp.asarray(np.asarray(rig.T, np.float64).ravel(), jnp.float32),
+            jnp.asarray(rig.intrinsic2, jnp.float32),
+            jnp.asarray(pad_dist_coeffs(rig.distCoeffs2)),
+            jnp.asarray(self.fringe, jnp.float32),
+            res=tuple(rig.res1))
+        return np.asarray(proj_coords, np.float64), np.asarray(virtual_ref)
+
+    def _calculateCameraFrequency(self, objPoints):
+        """Per-point carrier frequency on the camera (active.py:495-559)."""
+        rig = self.stereoRig
+        Ac = np.asarray(rig.intrinsic1, np.float64)
+        Dc = rig.distCoeffs1
+        Ap = np.asarray(rig.intrinsic2, np.float64)
+        R = np.asarray(rig.R, np.float64)
+        T = np.asarray(rig.T, np.float64).reshape(3, 1)
+        Dp = rig.distCoeffs2
+
+        Op = (-np.linalg.inv(R) @ T).ravel()
+        objPoints = np.asarray(objPoints, np.float64).reshape(-1, 3)
+        n = len(objPoints)
+
+        pCenter = npgeom.project_points(
+            objPoints, npgeom.matrix_to_rodrigues(R), T.ravel(), Ap, Dp)
+        half = (1.0 / self.fp) / 2.0
+        pts = np.vstack([
+            np.stack([pCenter[:, 0] - half, pCenter[:, 1]], 1),
+            np.stack([pCenter[:, 0] + half, pCenter[:, 1]], 1)])
+        # "undistort" = apply inverse-pinhole projector optics
+        pts = npgeom.undistort_points(pts, Ap, Dp, P=Ap)
+        invARp = np.linalg.inv(Ap @ R)
+        pp = np.hstack([pts, np.ones((2 * n, 1))])
+        z = np.tile(objPoints[:, 2].reshape(-1, 1), (2, 1))
+        hvec = (invARp @ pp.T).T
+        s = (z - Op[2]) / hvec[:, [2]]
+        pw = s * hvec + Op.reshape(1, 3)
+        pc = npgeom.project_points(
+            pw, np.zeros(3), np.zeros(3), Ac, Dc)
+        a, b = pc[:n], pc[n:]
+        Tc = (((a[:, 0] - b[:, 0]) ** 2 + (a[:, 1] - b[:, 1]) ** 2)
+              / np.abs(a[:, 0] - b[:, 0]))
+        return 1.0 / Tc
+
+    def _triangulate(self, camPoints, p_x, roi):
+        """Stripe triangulation via the epipolar line (active.py:561-605)."""
+        rig = self.stereoRig
+        camPoints = np.asarray(camPoints, np.float64).reshape(-1, 2).copy()
+        n = len(camPoints)
+        camPoints[:, 0] += roi[0]
+        camPoints[:, 1] += roi[1]
+        lines = np.hstack([camPoints, np.ones((n, 1))]) @ self.F.T
+        if np.isscalar(p_x):
+            p_x = np.full(n, float(p_x))
+        p_x = np.asarray(p_x, np.float64).ravel()
+        p_y = -(lines[:, 0] * p_x + lines[:, 2]) / lines[:, 1]
+        projPoints = np.stack([p_x, p_y], 1)
+
+        pc = npgeom.perspective_transform(camPoints, self.Rectify1)
+        pp = npgeom.undistort_points(
+            projPoints, rig.intrinsic2, rig.distCoeffs2, P=rig.intrinsic2)
+        pp = npgeom.perspective_transform(pp, self.Rectify2)
+        disparity = np.abs(pp[:, [0]] - pc[:, [0]])
+        pc = np.hstack([pc, np.ones((n, 1))])
+        pw = rig.getBaseline() * (pc / np.where(disparity > 1e-12,
+                                                disparity, np.nan))
+        return npgeom.perspective_transform(
+            pw.reshape(-1, 1, 3), self.R_inv).reshape(-1, 3)
+
+    # -- main entry --------------------------------------------------------
+
+    def getCloud(self, imgObj, radius_factor=0.5, roi=None,
+                 unwrappingMethod=None, plot=False):
+        """Process one camera image into a point cloud
+        (roi_h, roi_w, 3). Parity: active.py:608-841."""
+        imgObj = np.asarray(imgObj)
+        if imgObj.ndim != 3:
+            raise ValueError("image must be a BGR color image!")
+        rig = self.stereoRig
+        widthC, heightC = rig.res1
+
+        imgObj = np.asarray(warp.undistort_image(
+            imgObj, rig.intrinsic1, rig.distCoeffs1))
+        if roi is not None:
+            roi_x, roi_y, roi_w, roi_h = roi
+            imgObj = imgObj[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
+        else:
+            roi = (0, 0, widthC, heightC)
+            roi_x, roi_y, roi_w, roi_h = roi
+
+        # carrier frequency from the central stripe
+        stripe_cam = findCentralStripe(imgObj, self.stripeColor,
+                                       self.stripeSensitivity)
+        if stripe_cam is None:
+            raise ValueError("Central stripe not found in image!")
+        stripe_cam = stripe_cam.reshape(-1, 2)
+        stripe_idx = np.ceil(stripe_cam - 0.5).astype(np.int64)
+        stripe_world = self._triangulate(
+            stripe_cam.copy(), self.stripeCentralPeak, roi)
+        z_plane = float(np.nanmean(stripe_world[:, 2]))
+        fc = self._calculateCameraFrequency(stripe_world)
+
+        # virtual reference plane
+        projCoords, imgR_gray = self._getProjectorMapping(z_plane)
+        imgR_gray = imgR_gray[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
+        projCoords = projCoords[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
+
+        imgObj_gray = self.convertGrayscale(imgObj)
+
+        radius = radius_factor * fc
+        phase = np.asarray(_phase_pipeline(
+            jnp.asarray(imgObj_gray, jnp.float32),
+            jnp.asarray(imgR_gray, jnp.float32),
+            jnp.asarray(fc - radius, jnp.float32),
+            jnp.asarray(fc + radius, jnp.float32)))
+
+        if unwrappingMethod is None:
+            phaseUnwrapped = np.asarray(
+                _unwrap2d(jnp.asarray(phase, jnp.float32)), np.float64)
+        else:
+            phaseUnwrapped = np.asarray(unwrappingMethod(phase), np.float64)
+
+        # integer fringe order k from the stripe (active.py:779-791)
+        theta = phaseUnwrapped[stripe_idx[:, 1], stripe_idx[:, 0]]
+        u_A = projCoords[stripe_idx[:, 1], stripe_idx[:, 0]][:, 0]
+        k = (self.stripeCentralPeak - u_A) * self.fp - theta / (2 * np.pi)
+        k = np.ceil(np.mean(k) - 0.5)
+        phaseUnwrapped = (phaseUnwrapped + k * 2 * np.pi).reshape(-1, 1)
+
+        # projector H points on the epipolar line through the epipole
+        Xa = projCoords[:, :, 0].reshape(-1, 1)
+        Ya = projCoords[:, :, 1].reshape(-1, 1)
+        Xh = Xa + phaseUnwrapped / (2 * np.pi * self.fp)
+        ep = self.ep
+        Yh = ((Xh - ep[0]) / (Xa - ep[0])) * (Ya - ep[1]) + ep[1]
+        H = np.hstack([Xh, Yh])
+        H = npgeom.undistort_points(
+            H, rig.intrinsic2, rig.distCoeffs2, P=rig.intrinsic2)
+
+        # dense triangulation (active.py:819-838)
+        gx, gy = np.meshgrid(np.arange(roi_w), np.arange(roi_h))
+        pc = np.stack([gx + roi_x, gy + roi_y], -1).reshape(-1, 2) \
+            .astype(np.float64) + 0.5
+        pc = npgeom.perspective_transform(pc, self.Rectify1)
+        pc = np.hstack([pc, np.ones((roi_w * roi_h, 1))])
+        pp = npgeom.perspective_transform(H, self.Rectify2)
+        disparity = np.abs(pp[:, [0]] - pc[:, [0]])
+        finalPoints = rig.getBaseline() * (
+            pc / np.where(disparity > 1e-12, disparity, np.nan))
+        finalPoints = npgeom.perspective_transform(
+            finalPoints.reshape(-1, 1, 3), self.R_inv)
+        return finalPoints.reshape(roi_h, roi_w, 3)
+
+
+class StereoFTPAnaglyph(StereoFTP):
+    """FTP with the anaglyph fringe of :func:`buildAnaglyphFringe`
+    (parity: active.py:844-1128): grayscale is the normalized B - R
+    difference [Guo 1990], which suppresses the DC term."""
+
+    @staticmethod
+    def convertGrayscale(img):
+        img = np.asarray(img)
+        if img.ndim == 2:
+            return img.astype(np.float64)
+        d = img[:, :, 0].astype(np.float64) - img[:, :, 2].astype(np.float64)
+        ptp = np.ptp(d)
+        return (d - d.min()) / (ptp if ptp > 0 else 1.0)
+
+
+class StereoFTP_Mapping(StereoFTP):
+    """Classic (no virtual reference) FTP mapping variant
+    (parity: active.py:1266-1450): band-passes the object image only,
+    derives the absolute phase offset from the stripe, and maps phase
+    directly to projector x coordinates."""
+
+    def getCloud(self, imgObj, radius_factor=0.5, roi=None,
+                 unwrappingMethod=None, plot=False):
+        imgObj = np.asarray(imgObj)
+        if imgObj.ndim != 3:
+            raise ValueError("image must be a BGR color image!")
+        rig = self.stereoRig
+        widthC, heightC = rig.res1
+        imgObj = np.asarray(warp.undistort_image(
+            imgObj, rig.intrinsic1, rig.distCoeffs1))
+        if roi is not None:
+            roi_x, roi_y, roi_w, roi_h = roi
+            imgObj = imgObj[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
+        else:
+            roi = (0, 0, widthC, heightC)
+            roi_x, roi_y, roi_w, roi_h = roi
+
+        stripe_cam = findCentralStripe(imgObj, self.stripeColor,
+                                       self.stripeSensitivity)
+        if stripe_cam is None:
+            raise ValueError("Central stripe not found in image!")
+        stripe_cam = stripe_cam.reshape(-1, 2)
+        stripe_idx = np.ceil(stripe_cam - 0.5).astype(np.int64)
+        stripe_world = self._triangulate(
+            stripe_cam.copy(), self.stripeCentralPeak, roi)
+        fc = self._calculateCameraFrequency(stripe_world)
+
+        imgObj_gray = self.convertGrayscale(imgObj)
+        # object-only band-pass: reference phase is the pure carrier
+        radius = radius_factor * fc
+        G = np.fft.fft(imgObj_gray, axis=1)
+        freqs = np.fft.fftfreq(roi_w)
+        keep = ((freqs[None, :] - (fc - radius)[:, None] >= 0)
+                & (freqs[None, :] - (fc + radius)[:, None] <= 0))
+        G[~keep] = 0
+        ghat = np.fft.ifft(G, axis=1)
+        phase = np.angle(ghat)
+        if unwrappingMethod is None:
+            phase = np.unwrap(phase, axis=1)
+            phase = np.unwrap(phase, axis=0)
+        else:
+            phase = unwrappingMethod(phase)
+
+        # absolute phase via the mean phase at the stripe
+        theta = phase[stripe_idx[:, 1], stripe_idx[:, 0]]
+        phase = phase - np.mean(theta)
+        # projector x coordinate from phase (active.py:1441)
+        Xp = phase.reshape(-1, 1) / (2 * np.pi * self.fp) \
+            + self.stripeCentralPeak
+
+        gx, gy = np.meshgrid(np.arange(roi_w), np.arange(roi_h))
+        cam = np.stack([gx, gy], -1).reshape(-1, 2).astype(np.float64) + 0.5
+        pts = self._triangulate(cam, Xp.ravel(), roi)
+        return pts.reshape(roi_h, roi_w, 3)
+
+
+class StereoFTP_PhaseOnly(StereoFTP):
+    """Phase-map-only variant (parity: active.py:1703-2074, experimental
+    in the reference): same pipeline as :class:`StereoFTP` but stops
+    after unwrapping, returning the phase map."""
+
+    def getPhase(self, imgObj, radius_factor=0.5, roi=None,
+                 unwrappingMethod=None, plot=False):
+        imgObj = np.asarray(imgObj)
+        if imgObj.ndim != 3:
+            raise ValueError("image must be a BGR color image!")
+        rig = self.stereoRig
+        widthC, heightC = rig.res1
+        imgObj = np.asarray(warp.undistort_image(
+            imgObj, rig.intrinsic1, rig.distCoeffs1))
+        if roi is not None:
+            roi_x, roi_y, roi_w, roi_h = roi
+            imgObj = imgObj[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
+        else:
+            roi = (0, 0, widthC, heightC)
+            roi_x, roi_y, roi_w, roi_h = roi
+
+        stripe_cam = findCentralStripe(imgObj, self.stripeColor,
+                                       self.stripeSensitivity)
+        if stripe_cam is None:
+            raise ValueError("Central stripe not found in image!")
+        stripe_world = self._triangulate(
+            stripe_cam.reshape(-1, 2).copy(), self.stripeCentralPeak, roi)
+        z_plane = float(np.nanmean(stripe_world[:, 2]))
+        fc = self._calculateCameraFrequency(stripe_world)
+
+        projCoords, imgR_gray = self._getProjectorMapping(z_plane)
+        imgR_gray = imgR_gray[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
+        imgObj_gray = self.convertGrayscale(imgObj)
+        radius = radius_factor * fc
+        phase = np.asarray(_phase_pipeline(
+            jnp.asarray(imgObj_gray, jnp.float32),
+            jnp.asarray(imgR_gray, jnp.float32),
+            jnp.asarray(fc - radius, jnp.float32),
+            jnp.asarray(fc + radius, jnp.float32)))
+        if unwrappingMethod is None:
+            return np.asarray(_unwrap2d(jnp.asarray(phase, jnp.float32)))
+        return unwrappingMethod(phase)

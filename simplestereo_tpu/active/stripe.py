@@ -1,0 +1,126 @@
+"""
+stripe
+======
+
+Subpixel colored-stripe localization (parity:
+/root/reference/simplestereo/active.py:272-345) and illuminated-region
+detection (cleaned-up :func:`computeROI`, active.py:1611-1695 — the
+reference marks its version "not suitable for production").
+"""
+
+import numpy as np
+
+_CHANNEL = {"b": 0, "blue": 0, "g": 1, "green": 1, "r": 2, "red": 2}
+
+
+def findCentralStripe(image, color="r", sensitivity=0.5,
+                      interpolation="linear"):
+    """Find the colored stripe's subpixel x-center on every row.
+
+    Per-row intensity-weighted centroid after thresholding at
+    sensitivity * dtype_max; rows with no stripe are filled by
+    linear interpolation/extrapolation over y (the reference uses
+    scipy.interp1d with fill_value="extrapolate").
+
+    Returns (H, 2) array of (x, y) with y at pixel centers (0.5, 1.5, ...)
+    or None if the stripe is nowhere visible.
+    """
+    if not 0 <= sensitivity <= 1:
+        raise ValueError("Threshold must be in the interval [0,1]!")
+    if color not in _CHANNEL:
+        raise ValueError("Color value not permitted!")
+    image = np.asarray(image)
+    h, w = image.shape[:2]
+    max_value = np.iinfo(image.dtype).max if image.dtype.kind in "iu" \
+        else 1.0
+    # Color *dominance*, not the raw channel: the reference thresholds
+    # image[:, :, c] directly (active.py:308-320), which also passes the
+    # neutral (white) fringe ridges that contain the stripe color; the
+    # dominance map channel - max(others) isolates the colored stripe on
+    # both the plain and the anaglyph patterns.
+    c = _CHANNEL[color]
+    ch = image[:, :, c].astype(np.float64)
+    others = np.max(np.delete(image.astype(np.float64), c, axis=2), axis=2)
+    fringe = np.clip(ch - others, 0.0, None)
+    fringe[fringe < max_value * sensitivity] = 0
+
+    i = np.arange(w)[None, :]
+    den = fringe.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = (fringe * i).sum(axis=1) / den
+
+    if np.isnan(x).all():
+        return None
+
+    y = np.arange(0.5, h, 1.0)
+    mask = ~np.isnan(x)
+    if interpolation != "linear":
+        from scipy.interpolate import interp1d
+        f = interp1d(y[mask], x[mask], kind=interpolation,
+                     fill_value="extrapolate")
+        x = f(y)
+    else:
+        x = _interp_extrap(y, y[mask], x[mask])
+    return np.vstack((x, y)).T
+
+
+def _interp_extrap(xq, xp, fp):
+    """np.interp with linear extrapolation at both ends."""
+    out = np.interp(xq, xp, fp)
+    if len(xp) >= 2:
+        s0 = (fp[1] - fp[0]) / (xp[1] - xp[0])
+        s1 = (fp[-1] - fp[-2]) / (xp[-1] - xp[-2])
+        lo = xq < xp[0]
+        hi = xq > xp[-1]
+        out[lo] = fp[0] + s0 * (xq[lo] - xp[0])
+        out[hi] = fp[-1] + s1 * (xq[hi] - xp[-1])
+    return out
+
+
+def computeROI(img, blackThreshold=10, whiteThreshold=None,
+               coverage=0.95):
+    """Find the illuminated region of interest as (x, y, width, height).
+
+    Redesigned version of the reference's computeROI (active.py:1611-1695,
+    self-described as "to rewrite completely"): threshold, keep the
+    largest connected bright component, then shrink the bounding box one
+    border at a time until every border row/column is at least
+    ``coverage`` inside the component.
+    """
+    from scipy.ndimage import label
+
+    img = np.asarray(img)
+    if img.ndim == 3:
+        g = img.mean(axis=2)
+    else:
+        g = img.astype(np.float64)
+    mask = g > blackThreshold
+    if whiteThreshold is not None:
+        mask &= g < whiteThreshold
+    if not mask.any():
+        return (0, 0, img.shape[1], img.shape[0])
+    lab, n = label(mask)
+    if n > 1:
+        counts = np.bincount(lab.ravel())
+        counts[0] = 0
+        mask = lab == counts.argmax()
+
+    ys, xs = np.nonzero(mask)
+    x0, x1 = xs.min(), xs.max() + 1
+    y0, y1 = ys.min(), ys.max() + 1
+    for _ in range(mask.shape[0] + mask.shape[1]):
+        sub = mask[y0:y1, x0:x1]
+        fr = [sub[0].mean(), sub[-1].mean(), sub[:, 0].mean(),
+              sub[:, -1].mean()]
+        worst = int(np.argmin(fr))
+        if fr[worst] >= coverage or (y1 - y0) <= 2 or (x1 - x0) <= 2:
+            break
+        if worst == 0:
+            y0 += 1
+        elif worst == 1:
+            y1 -= 1
+        elif worst == 2:
+            x0 += 1
+        else:
+            x1 -= 1
+    return (int(x0), int(y0), int(x1 - x0), int(y1 - y0))

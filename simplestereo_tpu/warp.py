@@ -201,7 +201,7 @@ def init_undistort_rectify_map(camera_matrix, dist_coeffs, R, new_camera_matrix,
 
     K = jnp.asarray(camera_matrix, jnp.float32).reshape(3, 3)
     d = pad_dist_coeffs(dist_coeffs, dtype=jnp.float32)
-    Rm = jnp.eye(3, jnp.float32) if R is None else jnp.asarray(R, jnp.float32).reshape(3, 3)
+    Rm = jnp.eye(3, dtype=jnp.float32) if R is None else jnp.asarray(R, jnp.float32).reshape(3, 3)
     nK = jnp.asarray(new_camera_matrix, jnp.float32)
     nK = nK.reshape(3, -1)[:, :3]
     return _compute_rectify_map(K, d, Rm, nK, (int(size[0]), int(size[1])))

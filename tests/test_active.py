@@ -1,0 +1,239 @@
+"""Structured light: patterns, stripe finder, Gray-code scan and FTP on
+synthetic scenes with known geometry."""
+
+import numpy as np
+import pytest
+
+import simplestereo_tpu as ss
+from simplestereo_tpu.active import (
+    graycode_patterns, graycode_num_bits, decode_graycode,
+    buildFringe, buildBinaryFringe, buildAnaglyphFringe,
+    findCentralStripe, computeROI, GrayCode, GrayCodeDouble, StereoFTP)
+
+
+# --------------------------------------------------------------------------
+# synthetic camera-projector scene
+# --------------------------------------------------------------------------
+
+CAM_RES = (128, 96)    # (width, height)
+PROJ_RES = (128, 96)
+
+
+def _make_rig():
+    # T_z != 0 keeps the projector epipole finite (the FTP pipeline, like
+    # the reference's, assumes a near-horizontal but not exactly parallel
+    # camera-projector arrangement).
+    K = np.array([[140., 0, 63.5], [0, 140., 47.5], [0, 0, 1]])
+    from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+    R = rodrigues_to_matrix(np.array([0.0, -0.05, 0.0]))
+    T = np.array([[-40.], [1.0], [6.0]])
+    return ss.StereoRig(CAM_RES, PROJ_RES, K, K, None, None, R, T)
+
+
+def _proj_coords_for_plane(rig, z_plane, pixel_center=0.0):
+    """Projector pixel hit by each camera pixel for a fronto plane."""
+    w, h = rig.res1
+    K1 = np.asarray(rig.intrinsic1, float)
+    K2 = np.asarray(rig.intrinsic2, float)
+    R = np.asarray(rig.R, float)
+    T = np.asarray(rig.T, float).ravel()
+    xs, ys = np.meshgrid(np.arange(w) + pixel_center,
+                         np.arange(h) + pixel_center)
+    p = np.stack([xs, ys, np.ones_like(xs)], -1)
+    rays = p @ np.linalg.inv(K1).T
+    P = z_plane * rays                       # camera-frame points (z = z0)
+    q = (P @ R.T + T) @ K2.T
+    return q[..., 0] / q[..., 2], q[..., 1] / q[..., 2], P
+
+
+def _capture(pattern, mapu, mapv):
+    """Nearest-neighbor simulated camera capture of a projected pattern.
+
+    Pixels whose ray misses the projector frustum receive no light."""
+    h2, w2 = pattern.shape[:2]
+    ui = np.round(mapu).astype(int)
+    vi = np.round(mapv).astype(int)
+    lit = (ui >= 0) & (ui < w2) & (vi >= 0) & (vi < h2)
+    out = pattern[np.clip(vi, 0, h2 - 1), np.clip(ui, 0, w2 - 1)]
+    return np.where(lit, out, 0).astype(pattern.dtype)
+
+
+# --------------------------------------------------------------------------
+# patterns
+# --------------------------------------------------------------------------
+
+def test_graycode_patterns_layout():
+    pats, nx, ny = graycode_patterns((64, 32))
+    assert nx == 6 and ny == 5
+    assert pats.shape == (2 * (6 + 5), 32, 64)
+    # each image is followed by its inverse
+    assert (pats[0] + pats[1] == 255).all()
+    # first pattern: vertical stripes (constant along y)
+    assert (pats[0] == pats[0][0]).all()
+    # later patterns: horizontal stripes (constant along x)
+    assert (pats[-1] == pats[-1][:, :1]).all()
+
+
+def test_graycode_decode_identity():
+    """Feeding the patterns themselves as captures recovers pixel ids."""
+    import jax.numpy as jnp
+    pats, nx, ny = graycode_patterns((64, 32))
+    px, py, valid = decode_graycode(jnp.asarray(pats), nx=nx, ny=ny)
+    px, py, valid = map(np.asarray, (px, py, valid))
+    assert valid.all()
+    gx, gy = np.meshgrid(np.arange(64), np.arange(32))
+    assert (px == gx).all() and (py == gy).all()
+
+
+def test_generate_graycode_imgs(tmp_path):
+    n = ss.active.generateGrayCodeImgs(str(tmp_path), (32, 16))
+    assert n == 2 * (5 + 4)
+    files = {p.name for p in tmp_path.iterdir()}
+    assert "0.png" in files and "black.png" in files and "white.png" in files
+
+
+def test_build_fringe_shapes_and_stripe():
+    f = buildFringe(16, dims=(128, 8))
+    assert f.shape == (8, 128) and f.dtype == np.uint8
+    assert f.max() == 255 and f.min() == 0
+    fc = buildFringe(16, dims=(128, 8), stripeColor="red")
+    assert fc.shape == (8, 128, 3)
+    # inside the stripe only the red channel is nonzero
+    peak = int(ss.active._getCentralPeak(128, 16))
+    assert fc[0, peak, 2] > 0 and fc[0, peak, 0] == 0
+    fv = buildFringe(16, dims=(128, 64), vertical=True)
+    assert fv.shape == (64, 128)
+    assert (fv == fv[:, :1]).all()  # constant along x
+
+    fb = buildBinaryFringe(period=16, dims=(128, 8))
+    assert set(np.unique(fb)) <= {0, 255}
+    fa = buildAnaglyphFringe(period=16, dims=(128, 8))
+    assert fa.shape == (8, 128, 3)
+    # B and R are in antiphase: their sum is roughly constant
+    s = fa[0, :, 0].astype(int) + fa[0, :, 2].astype(int)
+    assert s.std() < 3
+
+
+def test_find_central_stripe():
+    img = np.zeros((20, 64, 3), np.uint8)
+    img[:, 30, 2] = 200
+    img[:, 31, 2] = 200
+    out = findCentralStripe(img, "r")
+    assert out.shape == (20, 2)
+    np.testing.assert_allclose(out[:, 0], 30.5, atol=1e-6)
+    assert findCentralStripe(np.zeros((4, 4, 3), np.uint8), "r") is None
+    with pytest.raises(ValueError):
+        findCentralStripe(img, "purple")
+
+
+def test_compute_roi():
+    img = np.zeros((60, 80), np.uint8)
+    img[10:50, 20:70] = 200
+    x, y, w, h = computeROI(img, blackThreshold=50)
+    assert abs(x - 20) <= 2 and abs(y - 10) <= 2
+    assert abs(w - 50) <= 4 and abs(h - 40) <= 4
+
+
+# --------------------------------------------------------------------------
+# Gray-code scanning on a synthetic plane
+# --------------------------------------------------------------------------
+
+def test_graycode_cloud_recovers_plane():
+    rig = _make_rig()
+    z0 = 500.0
+    mapu, mapv, _ = _proj_coords_for_plane(rig, z0)
+    pats, nx, ny = graycode_patterns(PROJ_RES)
+    captures = [_capture(p, mapu, mapv) for p in pats]
+
+    gc = GrayCode(rig)
+    assert gc.num_patterns == len(pats)
+    pts = gc.getCloud(captures)
+    pts = pts.reshape(-1, 3)
+    pts = pts[np.isfinite(pts).all(axis=1)]
+    assert len(pts) > 0.5 * CAM_RES[0] * CAM_RES[1]
+    # One projector pixel of disparity here is ~z0^2/(B*f) ~ 45 units of
+    # depth, so integer Gray-code decode bounds the achievable accuracy.
+    zerr = np.abs(pts[:, 2] - z0)
+    quant = z0 * z0 / (40.0 * 140.0)
+    assert np.median(zerr) < 0.5 * quant
+    assert np.percentile(zerr, 90) < 3.0 * quant
+
+
+def _cam_to_proj_map(Kc, Rc, Tc, Kp, Rp, Tp, res, z0):
+    """Camera pixel -> projector pixel via the plane z=z0 (world frame)."""
+    w, h = res
+    xs, ys = np.meshgrid(np.arange(w, dtype=float),
+                         np.arange(h, dtype=float))
+    p = np.stack([xs, ys, np.ones_like(xs)], -1)
+    d = p @ np.linalg.inv(Kc).T @ Rc          # ray dirs, world frame
+    C = -(Rc.T @ Tc).ravel()                  # camera center, world frame
+    t = (z0 - C[2]) / d[..., 2]
+    P = C + t[..., None] * d
+    q = (P @ Rp.T + Tp.ravel()) @ Kp.T
+    return q[..., 0] / q[..., 2], q[..., 1] / q[..., 2]
+
+
+def test_graycode_double_recovers_plane():
+    rig = _make_rig()
+    z0 = 500.0
+    K1 = np.asarray(rig.intrinsic1, float)
+    K2 = np.asarray(rig.intrinsic2, float)
+    R = np.asarray(rig.R, float)
+    T = np.asarray(rig.T, float)
+    # Uncalibrated projector colocated with camera 1 (identity pose);
+    # both calibrated cameras decode its patterns.
+    I3, z3 = np.eye(3), np.zeros((3, 1))
+    mapu1, mapv1 = _cam_to_proj_map(K1, I3, z3, K1, I3, z3, CAM_RES, z0)
+    mapu2, mapv2 = _cam_to_proj_map(K2, R, T, K1, I3, z3, CAM_RES, z0)
+    pats, _, _ = graycode_patterns(PROJ_RES)
+    caps1 = [_capture(p, mapu1, mapv1) for p in pats]
+    caps2 = [_capture(p, mapu2, mapv2) for p in pats]
+    gd = GrayCodeDouble(rig, PROJ_RES)
+    pts = gd.getCloud(caps1, caps2).reshape(-1, 3)
+    pts = pts[np.isfinite(pts).all(axis=1)]
+    assert len(pts) > 1000
+    assert np.abs(np.median(pts[:, 2]) - z0) < 0.1 * z0
+
+
+# --------------------------------------------------------------------------
+# FTP on a synthetic plane
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ftp_scene():
+    rig = _make_rig()
+    period = 16.0
+    fringe = buildFringe(period, dims=PROJ_RES, stripeColor="red")
+    z0 = 520.0
+    mapu, mapv, _ = _proj_coords_for_plane(rig, z0)
+    # bilinear sample of the BGR fringe
+    from simplestereo_tpu import warp
+    import jax.numpy as jnp
+    cam_img = np.asarray(warp.remap(
+        jnp.asarray(fringe), jnp.asarray(mapu, jnp.float32),
+        jnp.asarray(mapv, jnp.float32), interpolation="linear"))
+    return dict(rig=rig, period=period, fringe=fringe, z0=z0,
+                cam_img=cam_img)
+
+
+def test_ftp_recovers_plane(ftp_scene):
+    ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],
+                    ftp_scene["period"])
+    cloud = ftp.getCloud(ftp_scene["cam_img"])
+    assert cloud.shape == (CAM_RES[1], CAM_RES[0], 3)
+    z = cloud[..., 2]
+    z = z[np.isfinite(z)]
+    assert len(z) > 0.8 * z.size or len(z) > 5000
+    # the object IS the reference plane -> z should match everywhere
+    center = cloud[20:-20, 20:-20, 2]
+    center = center[np.isfinite(center)]
+    assert abs(np.median(center) - ftp_scene["z0"]) < 0.02 * ftp_scene["z0"]
+    assert np.percentile(np.abs(center - ftp_scene["z0"]), 80) \
+        < 0.05 * ftp_scene["z0"]
+
+
+def test_ftp_rejects_gray_image(ftp_scene):
+    ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],
+                    ftp_scene["period"])
+    with pytest.raises(ValueError):
+        ftp.getCloud(ftp_scene["cam_img"][:, :, 0])
