@@ -19,6 +19,15 @@ import numpy as np
 
 from . import ba
 from .chessboard import find_chessboard_corners, corner_subpix
+from .procam import (
+    chessboardProCam,
+    chessboardProCamWhite,
+    phaseShift,
+    phaseShiftWhite,
+    solvePnP,
+    wrapped_phase_4step,
+    heterodyne_unwrap,
+)
 
 DEFAULT_CHESSBOARD_SIZE = (7, 6)   # (cols, rows) inner corners
 DEFAULT_CORNERSUBPIX_WINSIZE = (11, 11)
@@ -157,6 +166,13 @@ __all__ = [
     "corner_subpix",
     "chessboardSingle",
     "chessboardStereo",
+    "chessboardProCam",
+    "chessboardProCamWhite",
+    "phaseShift",
+    "phaseShiftWhite",
+    "solvePnP",
+    "wrapped_phase_4step",
+    "heterodyne_unwrap",
     "generateChessboardSVG",
     "getFundamentalMatrixFromProjections",
     "DEFAULT_CHESSBOARD_SIZE",

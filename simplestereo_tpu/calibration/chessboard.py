@@ -212,15 +212,28 @@ def _orient_grid(grid, pts, rows, cols):
     imin, jmin = keys.min(axis=0)
     imax, jmax = keys.max(axis=0)
     span = (imax - imin + 1, jmax - jmin + 1)
-    if span not in ((rows, cols), (cols, rows)):
-        return None
-    M = np.full(span, -1, int)
+    full = np.full(span, -1, int)
     for (i, j), idx in grid.items():
-        M[i - imin, j - jmin] = idx
-    if (M < 0).any():
+        full[i - imin, j - jmin] = idx
+    # The grown lattice may have absorbed a few spurious detections beyond
+    # the physical board; search for a completely-filled rows x cols (or
+    # transposed) sub-block.
+    M = None
+    for a, b, transpose in ((rows, cols, False), (cols, rows, True)):
+        if span[0] < a or span[1] < b:
+            continue
+        for i0 in range(span[0] - a + 1):
+            for j0 in range(span[1] - b + 1):
+                sub = full[i0:i0 + a, j0:j0 + b]
+                if (sub >= 0).all():
+                    M = sub.T if transpose else sub
+                    break
+            if M is not None:
+                break
+        if M is not None:
+            break
+    if M is None:
         return None
-    if span == (cols, rows) and span != (rows, cols):
-        M = M.T
     v_col = pts[M[0, -1]] - pts[M[0, 0]]
     if abs(v_col[0]) >= abs(v_col[1]):
         if v_col[0] < 0:
@@ -305,7 +318,12 @@ def find_chessboard_corners(gray, pattern_size, response_quantile=0.97,
         if M is None:
             continue
         ordered = pts[M.ravel()]
-        # final high-accuracy refinement with the reference's 11x11 window
-        ordered = corner_subpix(g, ordered, win_size=(11, 11))
+        # Final high-accuracy refinement. The reference always uses an
+        # 11x11 half-window (calibration.py:21); that window must not span
+        # neighboring squares, so adapt it to the measured lattice step.
+        step = np.median(np.linalg.norm(
+            ordered[1:] - ordered[:-1], axis=1))
+        win = int(np.clip(step * 0.4, 2, 11))
+        ordered = corner_subpix(g, ordered, win_size=(win, win))
         return True, ordered
     return False, None
