@@ -20,6 +20,7 @@ from .lab import bgr_to_lab
 from .asw_ref import asw_disparity_ref, occlusion_fill
 from .asw_pallas import asw_disparity
 from .sgm import StereoSGM, StereoSGBM_create, filter_speckles
+from .gsw import StereoGSW, gsw_disparity
 
 
 class StereoASW:
@@ -82,6 +83,8 @@ __all__ = [
     "occlusion_fill",
     "StereoASW",
     "StereoSGM",
+    "StereoGSW",
+    "gsw_disparity",
     "StereoSGBM_create",
     "filter_speckles",
 ]

@@ -158,3 +158,37 @@ def test_full_suite_golden_parity(ref_res):
     assert np.abs(K1 - np.array(gold["intrinsic1"])).max() < 10
     assert np.abs(R - np.array(gold["R"])).max() < 1e-3
     assert np.abs(T - np.array(gold["T"])).max() < 1.0
+
+
+def test_sharded_ba_matches_truth(synth):
+    """Distributed Schur-complement GN on the 8-device mesh."""
+    from simplestereo_tpu.calibration.sharded import calibrate_camera_sharded
+    from simplestereo_tpu import parallel
+
+    V = 16
+    rng = synth["rng"]
+    obj = synth["obj"]
+    K, dist = synth["K"], synth["dist"]
+    imgs = []
+    for _ in range(V):
+        rvec = rng.normal(0, 0.25, 3)
+        tvec = np.array([rng.normal(-90, 30), rng.normal(-75, 30),
+                         rng.normal(600, 100)])
+        pts = ba.project_points(obj, rvec, tvec, K[0, 0], K[1, 1],
+                                K[0, 2], K[1, 2], dist)
+        imgs.append(pts + rng.normal(0, 0.1, pts.shape))
+    mesh = parallel.make_mesh({"views": 8})
+    Hs = [ba._homography_dlt(obj[:, :2], i) for i in imgs[:6]]
+    fx, fy, cx, cy = ba._zhang_intrinsics(Hs, (1280, 720))
+    K0 = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    rms, Ke, de, poses = calibrate_camera_sharded(
+        np.tile(obj[None], (V, 1, 1)), np.stack(imgs), K0, np.zeros(5),
+        mesh, axis="views", iterations=25)
+    assert rms < 0.25
+    assert np.abs(Ke - K).max() < 5.0
+    assert poses.shape == (V, 6)
+
+    with pytest.raises(ValueError):
+        calibrate_camera_sharded(
+            np.tile(obj[None], (3, 1, 1)), np.stack(imgs[:3]), K0,
+            np.zeros(5), mesh, axis="views")

@@ -127,3 +127,18 @@ def test_filter_speckles():
     out = filter_speckles(d, -16, max_speckle_size=10, max_diff=16)
     assert (out[5:7, 5:7] == -16).all()
     assert (out[0, 0] == 0)
+
+
+def test_gsw_recovers_known_shift(rng):
+    from simplestereo_tpu.passive import StereoGSW
+    img1 = rng.integers(0, 256, (20, 32, 3), np.uint8)
+    img2 = np.roll(img1, -2, axis=1)
+    for consistent in (False, True):
+        m = StereoGSW(winSize=5, maxDisparity=4, iterations=2,
+                      consistent=consistent)
+        d = m.compute(img1, img2)
+        assert d.dtype == np.int16
+        inner = d[4:-4, 6:-6]
+        assert (inner == 2).mean() > 0.95
+    with pytest.raises(ValueError):
+        StereoGSW(winSize=4)
