@@ -77,6 +77,28 @@ def exportPLY(points3D, filepath, referenceImage=None, precision=6):
                 fmt = fmt3 + f" %.{precision}f"
 
     header.append("end_header")
+    header_bytes = ("\n".join(header) + "\n").encode()
+
+    # Fast path: the native C++ serializer (simplestereo_tpu.native._ply);
+    # falls back to numpy.savetxt when the extension is unavailable.
+    from .native import get_ply
+    _ply = get_ply()
+    if _ply is not None:
+        xyz = np.ascontiguousarray(pts, np.float64)
+        if referenceImage is None:
+            _ply.write_xyz(filepath, header_bytes, xyz, precision)
+        elif referenceImage.size == pts.size:
+            rgb = np.ascontiguousarray(
+                referenceImage.reshape(-1, 3)[:, ::-1], np.uint8)
+            _ply.write_xyz_rgb(filepath, header_bytes, xyz, rgb, precision)
+        else:
+            gray = np.ravel(referenceImage)
+            as_int = 1 if np.issubdtype(gray.dtype, np.integer) else 0
+            _ply.write_xyz_intensity(
+                filepath, header_bytes, xyz,
+                np.ascontiguousarray(gray, np.float64), as_int, precision)
+        return
+
     with open(filepath, "w") as f:
         f.write("\n".join(header) + "\n")
         np.savetxt(f, body_arr, fmt=fmt)
@@ -95,6 +117,27 @@ def importPLY(filename, *properties):
     """
     if not properties:
         properties = (0, 1, 2)
+    n_skip = 0
+    n_vertex = None
+    n_cols = 0
+    with open(filename, "r") as f:
+        for line in f:
+            n_skip += 1
+            t = line.split()
+            if t[:2] == ["element", "vertex"]:
+                n_vertex = int(t[2])
+            elif t and t[0] == "property":
+                n_cols += 1
+            if line.rstrip().lower() == "end_header":
+                break
+
+    from .native import get_ply
+    _ply = get_ply()
+    if _ply is not None and n_vertex is not None and n_cols > 0:
+        raw = _ply.read_ascii_floats(filename, n_skip, n_vertex, n_cols)
+        data = np.frombuffer(raw, np.float64).reshape(n_vertex, n_cols)
+        return data[:, list(properties)]
+
     with open(filename, "r") as f:
         for line in f:
             if line.rstrip().lower() == "end_header":
