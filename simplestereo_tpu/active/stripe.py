@@ -33,14 +33,15 @@ def findCentralStripe(image, color="r", sensitivity=0.5,
     h, w = image.shape[:2]
     max_value = np.iinfo(image.dtype).max if image.dtype.kind in "iu" \
         else 1.0
-    # Color *dominance*, not the raw channel: the reference thresholds
-    # image[:, :, c] directly (active.py:308-320), which also passes the
-    # neutral (white) fringe ridges that contain the stripe color; the
-    # dominance map channel - max(others) isolates the colored stripe on
-    # both the plain and the anaglyph patterns.
+    # Excess-color weighting, not the raw channel: the reference
+    # thresholds image[:, :, c] directly (active.py:308-320), which also
+    # passes the neutral (white) fringe ridges that contain the stripe
+    # color. Subtracting the *minimum* of the other channels removes the
+    # neutral-light component while keeping overlaid stripes (anaglyph:
+    # G sits on top of the R carrier) intact.
     c = _CHANNEL[color]
     ch = image[:, :, c].astype(np.float64)
-    others = np.max(np.delete(image.astype(np.float64), c, axis=2), axis=2)
+    others = np.min(np.delete(image.astype(np.float64), c, axis=2), axis=2)
     fringe = np.clip(ch - others, 0.0, None)
     fringe[fringe < max_value * sensitivity] = 0
 

@@ -70,9 +70,13 @@ def drawCorrespondingEpipolarLines(img1, img2, F, x1=None, x2=None,
 
     For each point in ``x1`` the epipolar line ``F @ p`` is drawn on image 2,
     and the back-correspondence on image 1 (and symmetrically for ``x2``).
-    In-place, like the reference (utils.py:235-302).
+    Unlike the reference (utils.py:235-302), which draws in place, copies
+    are returned so device-backed (read-only) arrays are accepted.
     """
     F = np.asarray(F, np.float64)
+    # inputs may be read-only views of device arrays — make them writable
+    img1 = np.array(img1, copy=True)
+    img2 = np.array(img2, copy=True)
     x1 = x1 or []
     x2 = x2 or []
 
@@ -96,6 +100,7 @@ def drawCorrespondingEpipolarLines(img1, img2, F, x1=None, x2=None,
         p = np.array([x[0], x[1], 1.0])
         k = draw_on(img1, F.T @ p)
         draw_on(img2, F @ np.array([k[0], k[1], 1.0]))
+    return img1, img2
 
 
 class Capture:

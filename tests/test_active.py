@@ -237,3 +237,45 @@ def test_ftp_rejects_gray_image(ftp_scene):
                     ftp_scene["period"])
     with pytest.raises(ValueError):
         ftp.getCloud(ftp_scene["cam_img"][:, :, 0])
+
+
+def test_ftp_anaglyph_recovers_plane():
+    from simplestereo_tpu.active import StereoFTPAnaglyph
+    from simplestereo_tpu import warp
+    import jax.numpy as jnp
+    rig = _make_rig()
+    period = 16.0
+    fringe = buildAnaglyphFringe(period, dims=PROJ_RES)
+    z0 = 520.0
+    mapu, mapv, _ = _proj_coords_for_plane(rig, z0)
+    cam_img = np.asarray(warp.remap(
+        jnp.asarray(fringe), jnp.asarray(mapu, jnp.float32),
+        jnp.asarray(mapv, jnp.float32), interpolation="linear"))
+    ftp = StereoFTPAnaglyph(rig, fringe, period, stripeColor="green")
+    cloud = ftp.getCloud(cam_img)
+    center = cloud[20:-20, 20:-20, 2]
+    center = center[np.isfinite(center)]
+    assert abs(np.median(center) - z0) < 0.03 * z0
+
+
+def test_ftp_mapping_variant(ftp_scene):
+    from simplestereo_tpu.active import StereoFTP_Mapping
+    ftp = StereoFTP_Mapping(ftp_scene["rig"], ftp_scene["fringe"],
+                            ftp_scene["period"])
+    cloud = ftp.getCloud(ftp_scene["cam_img"])
+    assert cloud.shape == (CAM_RES[1], CAM_RES[0], 3)
+    center = cloud[30:-30, 30:-30, 2]
+    center = center[np.isfinite(center)]
+    # classic FTP (no virtual reference) is cruder; accept 10%
+    assert abs(np.median(center) - ftp_scene["z0"]) < 0.1 * ftp_scene["z0"]
+
+
+def test_ftp_phase_only(ftp_scene):
+    from simplestereo_tpu.active import StereoFTP_PhaseOnly
+    ftp = StereoFTP_PhaseOnly(ftp_scene["rig"], ftp_scene["fringe"],
+                              ftp_scene["period"])
+    phase = ftp.getPhase(ftp_scene["cam_img"])
+    assert phase.shape == (CAM_RES[1], CAM_RES[0])
+    # object == reference plane -> phase difference ~ constant (~0)
+    inner = phase[20:-20, 20:-20]
+    assert np.nanstd(inner) < 0.5
