@@ -3,6 +3,10 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpix*disp/s", "vs_baseline": N}
 
+Methodology: median wall-clock of single calls with *varying* inputs and
+full host readback (defeats async early-acks and any transport-level
+result caching), on the fused one-dispatch consistent pipeline.
+
 Baseline: the reference C++ thread-pool ASW does the full 384x288,
 11-candidate, winSize=35 consistent scan in <1 s on 4 CPU threads
 (/root/reference/simplestereo/passive.py:53-56; see BASELINE.md) =
@@ -18,6 +22,7 @@ import numpy as np
 
 
 def main():
+    import jax.numpy as jnp
     from simplestereo_tpu.imgio import imread
     from simplestereo_tpu.passive.asw_pallas import asw_disparity
 
@@ -36,15 +41,20 @@ def main():
     kw = dict(win_size=35, min_disp=4, max_disp=14, gamma_c=15.0,
               gamma_p=17.5, consistent=True)
 
-    disp = asw_disparity(left, right, **kw)
-    disp.block_until_ready()  # compile + warmup
+    rightd = jnp.asarray(right)
+    # distinct device-resident inputs per iteration
+    lefts = [jnp.asarray(np.roll(left, i, axis=0)) for i in range(8)]
+    for x in lefts:
+        x.block_until_ready()
 
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        disp = asw_disparity(left, right, **kw)
-    disp.block_until_ready()
-    dt = (time.perf_counter() - t0) / n
+    disp = np.asarray(asw_disparity(lefts[0], rightd, **kw))  # compile
+
+    times = []
+    for x in lefts:
+        t0 = time.perf_counter()
+        out = np.asarray(asw_disparity(x, rightd, **kw))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     H, W = left.shape[:2]
     D = kw["max_disp"] - kw["min_disp"] + 1
@@ -52,9 +62,9 @@ def main():
 
     extra = {}
     if gt is not None:
-        dn = np.asarray(disp)
+        disp0 = np.asarray(asw_disparity(jnp.asarray(left), rightd, **kw))
         mask = nonocc > 0
-        bad = (np.abs(dn - gt.astype(np.float32) / 16.0) > 2.0) & mask
+        bad = (np.abs(disp0 - gt.astype(np.float32) / 16.0) > 2.0) & mask
         extra["bad2_nonocc"] = round(float(bad.sum() / mask.sum()), 4)
 
     baseline = 1.33  # Mpix*disp/s (reference, 4 CPU threads)

@@ -60,6 +60,17 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _roll_const(a, d):
+    """Circular lane roll by a *constant* shift, as concatenated static
+    slices. Mosaic lowers ``pltpu.roll`` to ``tpu.dynamic_rotate`` even
+    for constant shifts, which benchmarks ~4x slower than the static
+    relayout this form produces; keep ``pltpu.roll`` only for genuinely
+    dynamic shifts."""
+    if d == 0:
+        return a
+    return jnp.concatenate([a[..., -d:], a[..., :-d]], axis=-1)
+
+
 def _layout(W, win_size):
     """(accumulator width, slab width), both 128-aligned."""
     pad = win_size // 2
@@ -99,7 +110,7 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
         d = min_disp + dd
         sad = jnp.zeros((_slab_rows(win_size), w_slab), jnp.float32)
         for c in range(3):
-            sad = sad + jnp.abs(slab[6 + c] - pltpu.roll(slab[9 + c], d, axis=1))
+            sad = sad + jnp.abs(slab[6 + c] - _roll_const(slab[9 + c], d))
         tad[dd] = jnp.minimum(sad, TAD_CAP)
 
     zeros = jnp.zeros((D, th, w_acc), jnp.float32)
@@ -131,7 +142,7 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
 
             for dd in range(D):
                 d = min_disp + dd
-                w = e1 * pltpu.roll(e2, d, axis=1)
+                w = e1 * _roll_const(e2, d)
                 t = tadr[dd][i:i + th, pad:pad + w_acc]
                 num[dd] = num[dd] + w * t
                 den[dd] = den[dd] + w
@@ -234,33 +245,21 @@ def _auto_interpret():
     return jax.default_backend() != "tpu"
 
 
-def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
-                  gamma_c=5.0, gamma_p=17.5, consistent=False,
-                  interpret=None, row_valid=None):
-    """ASW disparity map on TPU (Pallas production path).
-
-    Parameters mirror the reference ``StereoASW``
-    (/root/reference/simplestereo/passive.py:59-69); semantics are validated
-    against :func:`simplestereo_tpu.passive.asw_ref.asw_disparity_ref`.
-
-    Returns
-    -------
-    jnp.ndarray
-        (H, W) int16 disparity; -1 never appears (consistent mode fills
-        occlusions like the reference).
-    """
-    if interpret is None:
-        interpret = _auto_interpret()
-    img1 = jnp.asarray(img1)
-    img2 = jnp.asarray(img2)
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_size", "max_disp", "min_disp", "gamma_c",
+                     "gamma_p", "consistent", "interpret"))
+def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
+                       min_disp, gamma_c, gamma_p, consistent, interpret):
+    """Whole (optionally consistent) pipeline as ONE device program —
+    plane prep, kernel pass(es), LR check and occlusion fill fused into a
+    single dispatch so host-device round-trip latency is paid once."""
     H, W = img1.shape[:2]
-    pad = win_size // 2
     w_acc, w_slab = _layout(W, win_size)
     xs = jnp.arange(W)
 
     kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
-              gamma_c=float(gamma_c), gamma_p=float(gamma_p),
-              interpret=interpret)
+              gamma_c=gamma_c, gamma_p=gamma_p, interpret=interpret)
 
     planesL = _build_planes(img1, img2, win_size, w_acc, w_slab, row_valid)
     dispL = _asw_pass(planesL, H=H, W=W, **kw)
@@ -290,3 +289,28 @@ def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
     disagree = jax.vmap(lambda f, l, a: f.at[l].max(~a))(disagree, L, agree)
     dispI = jnp.where(disagree, -1, dispL)
     return occlusion_fill(dispI).astype(jnp.int16)
+
+
+def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
+                  gamma_c=5.0, gamma_p=17.5, consistent=False,
+                  interpret=None, row_valid=None):
+    """ASW disparity map on TPU (Pallas production path).
+
+    Parameters mirror the reference ``StereoASW``
+    (/root/reference/simplestereo/passive.py:59-69); semantics are
+    validated against
+    :func:`simplestereo_tpu.passive.asw_ref.asw_disparity_ref`.
+
+    Returns
+    -------
+    jnp.ndarray
+        (H, W) int16 disparity; -1 never appears (consistent mode fills
+        occlusions like the reference).
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    return _asw_disparity_jit(
+        jnp.asarray(img1), jnp.asarray(img2), row_valid,
+        win_size=win_size, max_disp=max_disp, min_disp=min_disp,
+        gamma_c=float(gamma_c), gamma_p=float(gamma_p),
+        consistent=bool(consistent), interpret=bool(interpret))
