@@ -67,6 +67,28 @@ def main():
         bad = (np.abs(disp0 - gt.astype(np.float32) / 16.0) > 2.0) & mask
         extra["bad2_nonocc"] = round(float(bad.sum() / mask.sum()), 4)
 
+    # Secondary metric: the SGM matcher (replaces the reference's
+    # cv2.StereoSGBM delegation) on the same pair.
+    try:
+        from simplestereo_tpu.passive.sgm import StereoSGM
+
+        sgm = StereoSGM(minDisparity=0, numDisparities=16, blockSize=5)
+        sgm.compute(left, rightd)  # compile
+        times = []
+        for x in lefts:
+            t0 = time.perf_counter()
+            out = np.asarray(sgm.compute(x, rightd))
+            times.append(time.perf_counter() - t0)
+        dts = float(np.median(times))
+        extra["sgm_mpixdisp_per_s"] = round(H * W * 16 / dts / 1e6, 2)
+        if gt is not None:
+            dsg = sgm.compute(left, rightd).astype(np.float32) / 16.0
+            badsg = (np.abs(dsg - gt.astype(np.float32) / 16.0) > 2.0) & mask
+            extra["sgm_bad2_nonocc"] = round(
+                float(badsg.sum() / mask.sum()), 4)
+    except Exception:
+        pass
+
     baseline = 1.33  # Mpix*disp/s (reference, 4 CPU threads)
     print(json.dumps({
         "metric": "asw_tsukuba_consistent_throughput",

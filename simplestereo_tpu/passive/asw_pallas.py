@@ -10,9 +10,11 @@ workerASWconsistent :108-289, computeASW :293-400) with a TPU-first design:
 
 - **Grid over row bands.** The reference drains a ``SafeQueue`` of row
   indices with ``std::thread``s; here a 1-D Pallas grid assigns each program
-  a band of ``TILE_H`` output rows. Input planes stay in HBM and each
-  program DMAs its (TILE_H + winSize-1)-row halo slab into VMEM once, so
-  HBM traffic is O(image), not O(image * window).
+  a band of ``tile_h`` output rows (chosen per shape by
+  :func:`_pick_tile_h` to amortize the halo work under a VMEM budget).
+  Input planes stay in HBM and each program DMAs its
+  (tile_h + winSize-1)-row halo slab into VMEM once, so HBM traffic is
+  O(image), not O(image * window).
 - **Validity by sentinel padding, not branches.** The reference skips
   out-of-image window pixels with ``if`` tests. Out-of-image Lab samples
   are padded with a large sentinel so their support weight
@@ -53,11 +55,46 @@ from .asw_ref import occlusion_fill
 
 TAD_CAP = 40.0
 LAB_SENTINEL = 1.0e6  # exp(-sentinel/gammaC) underflows to exactly 0.0
-TILE_H = 16
+_VMEM_BUDGET = 48 * 1024 * 1024  # scratch budget for tile-height choice
+# Mosaic unrolls vector ops over 8x128 native tiles, so compile time and
+# instruction count scale with tile_h * w_acc; and past ~24 native tiles
+# per op the kernel slows down again (measured Tsukuba win=35 kernel pass:
+# tile 16/32/64/96 -> 81.9/61.9/57.4/89.4 ms, compile 16/33/97/202 s).
+# Cap the band area at the measured sweet spot.
+_MAX_TILE_CELLS = 64 * 384
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _pick_tile_h(H, W, win_size, D):
+    """Choose the per-program output band height.
+
+    Each program processes a (tile_h + winSize-1)-row slab to produce
+    tile_h output rows; the plane rolls and the TAD volume are O(slab),
+    so small tiles waste up to slab/tile ~ 3.5x work on halo rows
+    (win=35, tile=16). Pick the tile minimizing the modeled cost
+    n_bands * (0.45*slab_rows + 0.55*tile) subject to a VMEM scratch
+    budget; ties prefer the larger tile (fewer grid steps).
+    """
+    pad = win_size // 2
+    w_acc, w_slab = _layout(W, win_size)
+    h8 = _round_up(max(H, 8), 8)
+    t_cap = max(8, (_MAX_TILE_CELLS // w_acc) // 8 * 8)
+    best = None
+    for t in range(8, min(h8, t_cap) + 8, 8):
+        slab = _round_up(t + 2 * pad, 8)
+        vmem = ((12 + D) * slab * w_slab + (2 * D + 1) * t * w_acc) * 4
+        if vmem > _VMEM_BUDGET:
+            break
+        n = -(-H // t)
+        cost = n * (0.45 * slab + 0.55 * t)
+        if best is None or cost <= best[0] + 1e-9:
+            best = (cost, t)
+    if best is None:  # extreme W: fall back to the smallest band
+        return 8
+    return best[1]
 
 
 def _roll_const(a, d):
@@ -79,28 +116,30 @@ def _layout(W, win_size):
     return w_acc, w_slab
 
 
-def _slab_rows(win_size):
+def _slab_rows(win_size, tile_h):
     # DMA slice row counts must be 8-aligned (HBM sublane tiling).
-    return _round_up(TILE_H + 2 * (win_size // 2), 8)
+    return _round_up(tile_h + 2 * (win_size // 2), 8)
 
 
 def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
-                pad, w_acc, w_slab, min_disp, max_disp, gamma_c, win_size):
-    """One program = one band of ``TILE_H`` output rows.
+                pad, w_acc, w_slab, min_disp, max_disp, gamma_c, win_size,
+                tile_h):
+    """One program = one band of ``tile_h`` output rows.
 
     prox_ref : (win, win) f32 in SMEM — exp(-2*sqrt(di^2+dj^2)/gammaP).
     planes_hbm : (12, Hp, w_slab) f32 in HBM/ANY —
         [0:3] Lab(ref), [3:6] Lab(tgt), [6:9] BGR(ref), [9:12] BGR(tgt);
         Lab planes sentinel-padded, BGR zero-padded. Slab column c maps to
         accumulator lane c - pad; accumulator lane l maps to image column l.
-    disp_ref : (TILE_H, w_acc) i32 output block.
+    disp_ref : (tile_h, w_acc) i32 output block.
     """
     D = max_disp - min_disp + 1
-    th = TILE_H
+    th = tile_h
     b = pl.program_id(0)
 
     cp = pltpu.make_async_copy(
-        planes_hbm.at[:, pl.ds(b * th, _slab_rows(win_size)), :], slab, sem)
+        planes_hbm.at[:, pl.ds(b * th, _slab_rows(win_size, th)), :],
+        slab, sem)
     cp.start()
     cp.wait()
 
@@ -108,7 +147,7 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
     # tad[dd](r, c) = min(40, SAD(ref(r, c), tgt(r, c - d))).
     for dd in range(D):
         d = min_disp + dd
-        sad = jnp.zeros((_slab_rows(win_size), w_slab), jnp.float32)
+        sad = jnp.zeros((_slab_rows(win_size, th), w_slab), jnp.float32)
         for c in range(3):
             sad = sad + jnp.abs(slab[6 + c] - _roll_const(slab[9 + c], d))
         tad[dd] = jnp.minimum(sad, TAD_CAP)
@@ -162,14 +201,14 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "win_size", "min_disp", "max_disp",
-                     "gamma_c", "gamma_p", "interpret"))
+                     "gamma_c", "gamma_p", "interpret", "tile_h"))
 def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
-              interpret):
+              interpret, tile_h):
     """Left-reference matching pass. planes: (12, Hp, w_slab) f32 padded."""
     pad = win_size // 2
     D = max_disp - min_disp + 1
     w_acc, w_slab = _layout(W, win_size)
-    n_bands = -(-H // TILE_H)
+    n_bands = -(-H // tile_h)
 
     offs = jnp.arange(win_size, dtype=jnp.float32) - pad
     dist = jnp.sqrt(offs[:, None] ** 2 + offs[None, :] ** 2)
@@ -178,23 +217,25 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
     kernel = functools.partial(
         _asw_kernel, pad=pad, w_acc=w_acc, w_slab=w_slab,
         min_disp=min_disp, max_disp=max_disp,
-        gamma_c=float(gamma_c), win_size=win_size)
+        gamma_c=float(gamma_c), win_size=win_size, tile_h=tile_h)
 
     disp = pl.pallas_call(
         kernel,
         grid=(n_bands,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (TILE_H, w_acc), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_bands * TILE_H, w_acc), jnp.int32),
+            (tile_h, w_acc), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_bands * tile_h, w_acc), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((12, _slab_rows(win_size), w_slab), jnp.float32),
-            pltpu.VMEM((D, _slab_rows(win_size), w_slab), jnp.float32),
-            pltpu.VMEM((D, TILE_H, w_acc), jnp.float32),
-            pltpu.VMEM((D, TILE_H, w_acc), jnp.float32),
+            pltpu.VMEM((12, _slab_rows(win_size, tile_h), w_slab),
+                       jnp.float32),
+            pltpu.VMEM((D, _slab_rows(win_size, tile_h), w_slab),
+                       jnp.float32),
+            pltpu.VMEM((D, tile_h, w_acc), jnp.float32),
+            pltpu.VMEM((D, tile_h, w_acc), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -208,7 +249,8 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
     return disp[:H, :W]
 
 
-def _build_planes(img1, img2, win_size, w_acc, w_slab, row_valid=None):
+def _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
+                  row_valid=None):
     """Stack sentinel-padded Lab + zero-padded BGR planes, (12, Hp, w_slab).
 
     row_valid : optional (H,) bool — rows marked False are treated exactly
@@ -219,8 +261,8 @@ def _build_planes(img1, img2, win_size, w_acc, w_slab, row_valid=None):
     """
     pad = win_size // 2
     H, W = img1.shape[:2]
-    n_bands = -(-H // TILE_H)
-    h_slab = (n_bands - 1) * TILE_H + _slab_rows(win_size)
+    n_bands = -(-H // tile_h)
+    h_slab = (n_bands - 1) * tile_h + _slab_rows(win_size, tile_h)
 
     f1 = img1.astype(jnp.float32)
     f2 = img2.astype(jnp.float32)
@@ -256,12 +298,15 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
     single dispatch so host-device round-trip latency is paid once."""
     H, W = img1.shape[:2]
     w_acc, w_slab = _layout(W, win_size)
+    tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1)
     xs = jnp.arange(W)
 
     kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
-              gamma_c=gamma_c, gamma_p=gamma_p, interpret=interpret)
+              gamma_c=gamma_c, gamma_p=gamma_p, interpret=interpret,
+              tile_h=tile_h)
 
-    planesL = _build_planes(img1, img2, win_size, w_acc, w_slab, row_valid)
+    planesL = _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
+                            row_valid)
     dispL = _asw_pass(planesL, H=H, W=W, **kw)
     # Empty candidate range (x < min_disp): the reference outputs the pixel's
     # own column index (dBest stays 0 -> disparity x - 0).
@@ -273,7 +318,7 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
     # Right-reference pass == left pass on x-flipped images with the roles
     # swapped: (ref, tgt) = (flip(img2), flip(img1)).
     planesR = _build_planes(img2[:, ::-1], img1[:, ::-1], win_size, w_acc,
-                            w_slab, row_valid)
+                            w_slab, tile_h, row_valid)
     dispRf = _asw_pass(planesR, H=H, W=W, **kw)
     dispR = dispRf[:, ::-1]
     # Empty range on the right pass: dBest stays 0 there too, which in

@@ -23,7 +23,16 @@ quirks cleaned up:
   left-right invalidation + occlusion fill as ASW.
 
 The reference's mutual-information cost is an unimplemented TODO there
-(_passive.cpp:506-508) and is not provided here either.
+(_passive.cpp:506-508; "Need to implement Mutual information as matching
+cost", passive.py:124-130, with the ``bins`` parameter reserved for it).
+Here it IS implemented (``costMethod="mi"``): the per-pixel
+(Taxonomy-of-SGM, Hirschmuller 2008 §2.1) formulation — quantize both
+images to ``bins`` gray levels, build the joint histogram over currently
+matched pairs, Parzen-smooth, and use
+``mi(i, j) = h12(i, j) - h1(i) - h2(j)`` as the per-pixel matching cost,
+iterated from the previous disparity estimate (initialized by one
+squared-differences pass). Geodesic weights aggregate the MI cost exactly
+like the color cost.
 
 Complexity is O(H*W*win^4*iterations) for the weights — inherently the
 reference's design; use :class:`StereoASW` or :class:`StereoSGM` for
@@ -41,6 +50,51 @@ from .asw_ref import occlusion_fill
 
 def _color_dist(a, b):
     return jnp.sqrt(((a - b) ** 2).sum(-1))
+
+
+def _parzen(h, sigma=1.0, radius=3):
+    """Separable Gaussian (Parzen window) smoothing of a 2-D table."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / k.sum()
+    smooth_rows = jax.vmap(lambda v: jnp.convolve(v, k, mode="same"))
+    return smooth_rows(smooth_rows(h).T).T
+
+
+@functools.partial(jax.jit, static_argnames=("bins",))
+def _mi_cost_table(q1, q2, disp, valid, *, bins):
+    """Per-pixel MI cost table (bins, bins) from the current matching.
+
+    Hirschmuller 2008 §2.1: h12 = -g(log(g(P12))), h_k = -g(log(g(P_k)))
+    from the marginals. The returned table C(i, j) = h12(i, j) - h1(i)
+    - h2(j) = -mi(i, j) is minimized by frequently co-occurring pairs.
+    """
+    W = q1.shape[1]
+    xs = jnp.arange(W)[None, :]
+    xm = jnp.clip(xs - disp, 0, W - 1)
+    q2m = jnp.take_along_axis(q2, xm, axis=1)
+    ok = valid & (xs - disp >= 0)
+
+    eps = 1e-7
+    flat = jnp.where(ok, q1 * bins + q2m, bins * bins)  # overflow bucket
+    hist = jnp.zeros((bins * bins + 1,), jnp.float32).at[
+        flat.reshape(-1)].add(1.0)[:-1].reshape(bins, bins)
+    n = jnp.maximum(hist.sum(), 1.0)
+    P12 = hist / n
+    h12 = -_parzen(jnp.log(_parzen(P12) + eps))
+    P1 = P12.sum(1)
+    P2 = P12.sum(0)
+
+    def h_marg(p):
+        x = jnp.arange(-3, 4, dtype=jnp.float32)
+        k = jnp.exp(-0.5 * x ** 2)
+        k = k / k.sum()
+        return -jnp.convolve(jnp.log(jnp.convolve(p, k, mode="same") + eps),
+                             k, mode="same")
+
+    h1 = h_marg(P1)
+    h2 = h_marg(P2)
+    return h12 - h1[:, None] - h2[None, :]
 
 
 @functools.partial(
@@ -140,11 +194,71 @@ def _gsw_pass(img1, img2, *, win_size, min_disp, max_disp, gamma, f_max,
     return disp
 
 
+def _quantize_gray(img, bins):
+    """BGR -> gray level index in [0, bins)."""
+    img = img.astype(jnp.float32)
+    g = (0.114 * img[..., 0] + 0.587 * img[..., 1] + 0.299 * img[..., 2]
+         if img.ndim == 3 else img)
+    return jnp.clip((g * bins / 256.0).astype(jnp.int32), 0, bins - 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_size", "min_disp", "max_disp", "gamma",
+                     "iterations", "bins"))
+def _gsw_mi_step(img1, q1, q2, disp_prev, *, win_size, min_disp, max_disp,
+                 gamma, iterations, bins):
+    """One MI refinement: cost table from the previous matching, then
+    geodesic-weighted aggregation + WTA (same scaffolding as the SD pass).
+    """
+    H, W = q1.shape
+    pad = win_size // 2
+    tot = win_size * win_size
+    D = max_disp - min_disp + 1
+
+    w = _gsw_weights(img1, win_size, iterations, gamma)
+    table = _mi_cost_table(q1, q2, disp_prev, disp_prev >= 0, bins=bins)
+    # Shift to non-negative so zero-padded (out-of-image) window pixels
+    # stay neutral, mirroring the SD pass's border semantics.
+    flat_t = (table - table.min()).reshape(-1)
+
+    xs = jnp.arange(W)[None, :]
+    costs = []
+    for dd in range(D):
+        d = min_disp + dd
+        q2s = jnp.pad(q2, ((0, 0), (d, 0)))[:, :W]
+        M = flat_t[q1 * bins + q2s]
+        M = jnp.where(xs - d >= 0, M, 0.0)
+        Mp = jnp.pad(M, ((pad, pad), (pad, pad)))
+
+        def body(i, acc):
+            oy = i // win_size
+            ox = i % win_size
+            m = jax.lax.dynamic_slice(Mp, (oy, ox), (H, W))
+            return acc + w[i] * m
+
+        c = jax.lax.fori_loop(0, tot, body, jnp.zeros((H, W), jnp.float32))
+        costs.append(jnp.where(xs - d >= 0, c, jnp.inf))
+    cost = jnp.stack(costs, -1)
+    disp = jnp.argmin(cost, axis=-1).astype(jnp.int32) + min_disp
+    return jnp.where(xs < min_disp, xs, disp)
+
+
 def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
                   gamma=10.0, f_max=120.0, iterations=3,
-                  consistent=False):
+                  consistent=False, cost_method="sd", bins=20,
+                  mi_iterations=2):
     """GSW disparity (parameters mirror the reference StereoGSW,
-    passive.py:133-145)."""
+    passive.py:133-145).
+
+    cost_method: "sd" — the reference's weighted capped color-difference
+    cost; "mi" — per-pixel mutual-information cost (the reference's
+    unimplemented TODO). MI is initialized from a *random* disparity
+    field (Hirschmuller 2008 §2.1: 1/D of the pairs are then correct,
+    enough signal to bootstrap the joint histogram — an SD init can lock
+    in a wrong self-consistent matching under radiometric distortion)
+    and refined ``mi_iterations`` times from the evolving matching.
+    """
     img1 = jnp.asarray(img1)
     img2 = jnp.asarray(img2)
     H, W = img1.shape[:2]
@@ -152,10 +266,26 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
     kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
               gamma=float(gamma), f_max=float(f_max),
               iterations=iterations)
-    dispL = _gsw_pass(img1, img2, **kw)
+
+    def one_direction(a, b):
+        if cost_method != "mi":
+            return _gsw_pass(a, b, **kw)
+        qa = _quantize_gray(a, bins)
+        qb = _quantize_gray(b, bins)
+        disp = jax.random.randint(
+            jax.random.PRNGKey(0), (H, W), min_disp, max_disp + 1,
+            dtype=jnp.int32)
+        for _ in range(mi_iterations):
+            disp = _gsw_mi_step(
+                a, qa, qb, disp, win_size=win_size, min_disp=min_disp,
+                max_disp=max_disp, gamma=float(gamma),
+                iterations=iterations, bins=bins)
+        return disp
+
+    dispL = one_direction(img1, img2)
     if not consistent:
         return dispL.astype(jnp.int16)
-    dispRf = _gsw_pass(img2[:, ::-1], img1[:, ::-1], **kw)
+    dispRf = one_direction(img2[:, ::-1], img1[:, ::-1])
     dispR = dispRf[:, ::-1]
     xs_f = xs[None, :]
     dispR = jnp.where((W - 1 - xs_f) < min_disp, -xs_f, dispR)
@@ -170,6 +300,12 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
 class StereoGSW:
     """Geodesic Support-Weight matcher (API parity: passive.py:99-158).
 
+    Beyond the reference: ``costMethod="mi"`` activates the per-pixel
+    mutual-information matching cost the reference left as a TODO
+    (radiometrically robust — matches across nonlinear intensity
+    transforms), and ``consistent=True`` adds the left-right check +
+    occlusion fill the reference also listed as missing for GSW.
+
     .. note::
         Like the reference's version, this matcher is provided for
         completeness; prefer :class:`StereoASW` / :class:`StereoSGM`.
@@ -177,17 +313,21 @@ class StereoGSW:
 
     def __init__(self, winSize=11, maxDisparity=16, minDisparity=0,
                  gamma=10, fMax=120, iterations=3, bins=20,
-                 consistent=False):
+                 consistent=False, costMethod="sd", miIterations=2):
         if winSize <= 0 or winSize % 2 == 0:
             raise ValueError("winSize must be a positive odd number!")
+        if costMethod not in ("sd", "mi"):
+            raise ValueError("costMethod must be 'sd' or 'mi'!")
         self.winSize = winSize
         self.maxDisparity = maxDisparity
         self.minDisparity = minDisparity
         self.gamma = gamma
         self.fMax = fMax
         self.iterations = iterations
-        self.bins = bins  # kept for API parity (mutual information TODO)
+        self.bins = bins  # joint-histogram bins for costMethod="mi"
         self.consistent = consistent
+        self.costMethod = costMethod
+        self.miIterations = miIterations
 
     def compute(self, img1, img2):
         img1 = np.ascontiguousarray(img1)
@@ -199,4 +339,6 @@ class StereoGSW:
             img1, img2, win_size=self.winSize,
             max_disp=self.maxDisparity, min_disp=self.minDisparity,
             gamma=float(self.gamma), f_max=float(self.fMax),
-            iterations=self.iterations, consistent=self.consistent))
+            iterations=self.iterations, consistent=self.consistent,
+            cost_method=self.costMethod, bins=self.bins,
+            mi_iterations=self.miIterations))

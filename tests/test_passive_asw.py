@@ -142,3 +142,22 @@ def test_gsw_recovers_known_shift(rng):
         assert (inner == 2).mean() > 0.95
     with pytest.raises(ValueError):
         StereoGSW(winSize=4)
+
+
+def test_gsw_mutual_information_radiometric_robustness(rng):
+    """MI cost (the reference's unimplemented TODO) matches across a
+    photometric inversion where the color-difference cost fails."""
+    from simplestereo_tpu.passive import StereoGSW
+    img1 = rng.integers(0, 256, (24, 40, 3), np.uint8)
+    img2 = 255 - np.roll(img1, -2, axis=1)  # shifted AND inverted
+
+    sd = StereoGSW(winSize=5, maxDisparity=4, iterations=2).compute(
+        img1, img2)
+    mi = StereoGSW(winSize=5, maxDisparity=4, iterations=2,
+                   costMethod="mi", bins=16, miIterations=3).compute(
+        img1, img2)
+    inner = np.s_[4:-4, 6:-6]
+    assert (mi[inner] == 2).mean() > 0.9
+    assert (mi[inner] == 2).mean() > (sd[inner] == 2).mean() + 0.3
+    with pytest.raises(ValueError):
+        StereoGSW(costMethod="nope")
