@@ -67,6 +67,23 @@ def main():
         bad = (np.abs(disp0 - gt.astype(np.float32) / 16.0) > 2.0) & mask
         extra["bad2_nonocc"] = round(float(bad.sum() / mask.sum()), 4)
 
+    # Secondary metric: the subsampled-window scan (step=2) — the mode the
+    # reference proposed as "40-50% faster" but never implemented.
+    np.asarray(asw_disparity(lefts[0], rightd, step=2, **kw))  # compile
+    times = []
+    for x in lefts:
+        t0 = time.perf_counter()
+        out = np.asarray(asw_disparity(x, rightd, step=2, **kw))
+        times.append(time.perf_counter() - t0)
+    dt2 = float(np.median(times))
+    extra["asw_step2_mpixdisp_per_s"] = round(H * W * D / dt2 / 1e6, 2)
+    if gt is not None:
+        d2 = np.asarray(asw_disparity(jnp.asarray(left), rightd, step=2,
+                                      **kw))
+        bad2s = (np.abs(d2 - gt.astype(np.float32) / 16.0) > 2.0) & mask
+        extra["asw_step2_bad2_nonocc"] = round(
+            float(bad2s.sum() / mask.sum()), 4)
+
     # Secondary metric: the SGM matcher (replaces the reference's
     # cv2.StereoSGBM delegation) on the same pair.
     try:

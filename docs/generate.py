@@ -39,6 +39,7 @@ MODULES = [
     "simplestereo_tpu.unwrapping",
     "simplestereo_tpu.points",
     "simplestereo_tpu.parallel",
+    "simplestereo_tpu.profiling",
     "simplestereo_tpu.geometry.projection",
     "simplestereo_tpu.geometry.distortion",
     "simplestereo_tpu.geometry.npgeom",

@@ -40,6 +40,7 @@ from . import unwrapping
 from . import points
 from . import parallel
 from . import utils
+from . import profiling
 
 __all__ = [
     "StereoRig",
@@ -56,4 +57,5 @@ __all__ = [
     "points",
     "parallel",
     "utils",
+    "profiling",
 ]

@@ -123,7 +123,7 @@ def _slab_rows(win_size, tile_h):
 
 def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
                 pad, w_acc, w_slab, min_disp, max_disp, gamma_c, win_size,
-                tile_h):
+                tile_h, step):
     """One program = one band of ``tile_h`` output rows.
 
     prox_ref : (win, win) f32 in SMEM — exp(-2*sqrt(di^2+dj^2)/gammaP).
@@ -161,12 +161,20 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
     # Center (unshifted) Lab slices, hoisted out of the window loop.
     ctr = [slab[c, pad:pad + th, pad:pad + w_acc] for c in range(6)]
 
-    def col_body(j, _):
+    # Window-offset lattice: every pixel at step=1 (reference semantics);
+    # at step>1 offsets o with o % step == 0, anchored at the center
+    # (the subsampled scan the reference suggested, passive.py:43-46).
+    half_j = pad // step
+    n_j = 2 * half_j + 1
+    i_offsets = range(pad % step, win_size, step)
+
+    def col_body(m, _):
+        j = (m - half_j) * step + pad
         shift = pad - j  # rolled[c] = plane[c + (j - pad)]
         rolled = [pltpu.roll(slab[c], shift, axis=1) for c in range(6)]
         tadr = [pltpu.roll(tad[dd], shift, axis=1) for dd in range(D)]
 
-        for i in range(win_size):  # static: sublane slices must be static
+        for i in i_offsets:  # static: sublane slices must be static
             def lab_sim(base):
                 dsq = jnp.zeros((th, w_acc), jnp.float32)
                 for c in range(3):
@@ -187,7 +195,7 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
                 den[dd] = den[dd] + w
         return 0
 
-    jax.lax.fori_loop(0, win_size, col_body, 0)
+    jax.lax.fori_loop(0, n_j, col_body, 0)
 
     # den >= 1 always (the center window pixel has weight exp(0)=1), so the
     # division is safe even on fully-padded rows/columns.
@@ -201,9 +209,9 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "win_size", "min_disp", "max_disp",
-                     "gamma_c", "gamma_p", "interpret", "tile_h"))
+                     "gamma_c", "gamma_p", "interpret", "tile_h", "step"))
 def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
-              interpret, tile_h):
+              interpret, tile_h, step=1):
     """Left-reference matching pass. planes: (12, Hp, w_slab) f32 padded."""
     pad = win_size // 2
     D = max_disp - min_disp + 1
@@ -217,7 +225,8 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
     kernel = functools.partial(
         _asw_kernel, pad=pad, w_acc=w_acc, w_slab=w_slab,
         min_disp=min_disp, max_disp=max_disp,
-        gamma_c=float(gamma_c), win_size=win_size, tile_h=tile_h)
+        gamma_c=float(gamma_c), win_size=win_size, tile_h=tile_h,
+        step=step)
 
     disp = pl.pallas_call(
         kernel,
@@ -241,9 +250,9 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=H * w_acc * win_size * win_size * (20 + 4 * D),
+            flops=H * w_acc * (win_size // step) ** 2 * (20 + 4 * D),
             bytes_accessed=planes.size * 4,
-            transcendentals=H * w_acc * win_size * win_size * 3),
+            transcendentals=H * w_acc * (win_size // step) ** 2 * 3),
         interpret=interpret,
     )(prox2, planes)
     return disp[:H, :W]
@@ -290,9 +299,10 @@ def _auto_interpret():
 @functools.partial(
     jax.jit,
     static_argnames=("win_size", "max_disp", "min_disp", "gamma_c",
-                     "gamma_p", "consistent", "interpret"))
+                     "gamma_p", "consistent", "interpret", "step"))
 def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
-                       min_disp, gamma_c, gamma_p, consistent, interpret):
+                       min_disp, gamma_c, gamma_p, consistent, interpret,
+                       step):
     """Whole (optionally consistent) pipeline as ONE device program —
     plane prep, kernel pass(es), LR check and occlusion fill fused into a
     single dispatch so host-device round-trip latency is paid once."""
@@ -303,7 +313,7 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
 
     kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
               gamma_c=gamma_c, gamma_p=gamma_p, interpret=interpret,
-              tile_h=tile_h)
+              tile_h=tile_h, step=step)
 
     planesL = _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
                             row_valid)
@@ -338,7 +348,7 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
 
 def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
                   gamma_c=5.0, gamma_p=17.5, consistent=False,
-                  interpret=None, row_valid=None):
+                  interpret=None, row_valid=None, step=1):
     """ASW disparity map on TPU (Pallas production path).
 
     Parameters mirror the reference ``StereoASW``
@@ -358,4 +368,5 @@ def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
         jnp.asarray(img1), jnp.asarray(img2), row_valid,
         win_size=win_size, max_disp=max_disp, min_disp=min_disp,
         gamma_c=float(gamma_c), gamma_p=float(gamma_p),
-        consistent=bool(consistent), interpret=bool(interpret))
+        consistent=bool(consistent), interpret=bool(interpret),
+        step=int(step))

@@ -61,11 +61,15 @@ def _shift_y(a, s, fill=0.0):
 
 
 def _cost_volume(img_ref, img_tgt, lab_ref, lab_tgt, win_size, gamma_c,
-                 gamma_p, min_disp, max_disp, direction):
+                 gamma_p, min_disp, max_disp, direction, step=1):
     """ASW cost volume (H, W, D) for one matching direction.
 
     direction=+1: reference is the left image, target column = x - d.
     direction=-1: reference is the right image, target column = x + d.
+    step: window-offset lattice stride (1 = every window pixel, the
+    reference's semantics; 2 = the subsampled scan the reference
+    suggested as "40-50% faster, no significant quality decrease",
+    passive.py:43-46 — offsets on a step-lattice anchored at the center).
     """
     H, W = img_ref.shape[:2]
     pad = win_size // 2
@@ -102,9 +106,13 @@ def _cost_volume(img_ref, img_tgt, lab_ref, lab_tgt, win_size, gamma_c,
     ys_ok = jnp.ones((H,), bool)
 
     for di in range(-pad, pad + 1):
+        if di % step:
+            continue
         row_ok = jnp.zeros((H,), bool).at[:].set(
             (jnp.arange(H) + di >= 0) & (jnp.arange(H) + di <= H - 1))
         for dj in range(-pad, pad + 1):
+            if dj % step:
+                continue
             prox = jnp.exp(
                 -2.0 * jnp.sqrt(jnp.float32(di * di + dj * dj)) / gamma_p)
             col_ok = (xs + dj >= 0) & (xs + dj <= W - 1)
@@ -184,10 +192,11 @@ def occlusion_fill(disp):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win_size", "min_disp", "max_disp", "consistent"),
+    static_argnames=("win_size", "min_disp", "max_disp", "consistent",
+                     "step"),
 )
 def asw_disparity_ref(img1, img2, win_size=35, max_disp=16, min_disp=0,
-                      gamma_c=5.0, gamma_p=17.5, consistent=False):
+                      gamma_c=5.0, gamma_p=17.5, consistent=False, step=1):
     """Reference-semantics ASW disparity (pure jnp oracle).
 
     Parameters mirror ``StereoASW`` (/root/reference/simplestereo/passive.py:59).
@@ -208,7 +217,7 @@ def asw_disparity_ref(img1, img2, win_size=35, max_disp=16, min_disp=0,
     lab2 = bgr_to_lab(img2)
 
     costL, okL = _cost_volume(f1, f2, lab1, lab2, win_size, gamma_c, gamma_p,
-                              min_disp, max_disp, +1)
+                              min_disp, max_disp, +1, step)
     dispL = _argmin_disp(costL, okL, min_disp,
                          jnp.broadcast_to(xs, (H, W)).astype(jnp.int32))
 
@@ -216,7 +225,7 @@ def asw_disparity_ref(img1, img2, win_size=35, max_disp=16, min_disp=0,
         return dispL.astype(jnp.int16)
 
     costR, okR = _cost_volume(f2, f1, lab2, lab1, win_size, gamma_c, gamma_p,
-                              min_disp, max_disp, -1)
+                              min_disp, max_disp, -1, step)
     # Empty candidate range on the right pass: the reference leaves dBest=0,
     # i.e. matched left column 0 and implied disparity -x.
     dispR = _argmin_disp(costR, okR, min_disp, -jnp.broadcast_to(xs, (H, W)))

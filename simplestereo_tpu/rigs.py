@@ -441,7 +441,10 @@ class StructuredLightRig(StereoRig):
         pp = npgeom.perspective_transform(pp, self.R2)
 
         disparity = np.abs(pp[:, [0]] - pc[:, [0]])
-        finalPoints = self.getBaseline() * (pc / disparity)
+        # Zero disparity (point at infinity) yields inf coordinates, not a
+        # crash — the reference divides unguarded (_rigs.py:692-693).
+        with np.errstate(divide="ignore", invalid="ignore"):
+            finalPoints = self.getBaseline() * (pc / disparity)
 
         # Undo the common orientation to return to camera-1 coordinates.
         finalPoints = npgeom.perspective_transform(

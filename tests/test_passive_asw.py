@@ -37,6 +37,21 @@ def test_pallas_matches_oracle(rng, consistent, min_disp, max_disp, win):
     assert mismatch <= 0.012, f"pallas/oracle mismatch {mismatch:.2%}"
 
 
+@pytest.mark.parametrize("consistent", [False, True])
+def test_pallas_matches_oracle_step2(rng, consistent):
+    """Subsampled-window scan (step=2): kernel must match the oracle's
+    step-lattice semantics."""
+    img1, img2 = _pair(rng)
+    a = np.asarray(asw_disparity_ref(
+        img1, img2, win_size=7, max_disp=6, min_disp=1,
+        consistent=consistent, step=2))
+    b = np.asarray(asw_disparity(
+        img1, img2, win_size=7, max_disp=6, min_disp=1,
+        consistent=consistent, step=2))
+    mismatch = (a != b).mean()
+    assert mismatch <= 0.012, f"pallas/oracle mismatch {mismatch:.2%}"
+
+
 def test_recovers_known_shift(rng):
     img1, img2 = _pair(rng, h=24, w=48, shift=3)
     d = np.asarray(asw_disparity(img1, img2, win_size=5, max_disp=6))
@@ -82,6 +97,19 @@ def test_tsukuba_quality(tsukuba):
     disp = np.asarray(asw_disparity(
         tsukuba["left"], tsukuba["right"], win_size=35, min_disp=4,
         max_disp=14, gamma_c=15.0, gamma_p=17.5, consistent=True))
+    gt = tsukuba["gt"].astype(np.float32) / 16.0
+    mask = tsukuba["nonocc"] > 0
+    bad = (np.abs(disp - gt) > 2.0) & mask
+    assert bad.sum() / mask.sum() < 0.05
+
+
+@pytest.mark.slow
+def test_tsukuba_quality_step2(tsukuba):
+    """The subsampled scan must hold quality (the reference predicted "no
+    significant quality decrease" for it, passive.py:43-46)."""
+    disp = np.asarray(asw_disparity(
+        tsukuba["left"], tsukuba["right"], win_size=35, min_disp=4,
+        max_disp=14, gamma_c=15.0, gamma_p=17.5, consistent=True, step=2))
     gt = tsukuba["gt"].astype(np.float32) / 16.0
     mask = tsukuba["nonocc"] > 0
     bad = (np.abs(disp - gt) > 2.0) & mask

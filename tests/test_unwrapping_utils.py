@@ -111,3 +111,28 @@ def test_draw_epipolar_lines_returns_copies(rig2, rng):
     o1, o2 = ss.utils.drawCorrespondingEpipolarLines(
         img1, img2, F, x1=[(640, 360)])
     assert (o1 != img1).any() or (o2 != img2).any()
+
+
+def test_profiling_throughput_and_memory(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+    from simplestereo_tpu import profiling
+
+    meter = profiling.Throughput("warp", unit="Mpix")
+    for i in range(3):
+        with meter.measure(0.5):
+            np.asarray(jnp.arange(16) * i)
+    rep = meter.report()
+    assert rep["samples"] == 3 and rep["median_s"] > 0
+    assert "Mpix_per_s" in rep
+
+    mem = profiling.device_memory()
+    assert len(mem) >= 1
+
+    with profiling.annotate("test-region"):
+        pass
+
+    with profiling.trace(tmp_path):
+        np.asarray(jnp.ones(8) + 1)
+    import os
+    assert any(os.scandir(tmp_path))
