@@ -1,0 +1,89 @@
+"""StereoFTP throughput benchmark (structured-light headline).
+
+Builds a synthetic 720p camera-projector scene (fringe projected onto a
+reference plane, captured through the rig geometry — same construction
+as tests/test_active.py) and measures full getCloud pipeline time:
+undistort, stripe find, virtual-reference synthesis, row FFT band-pass
+phase extraction, unwrap, triangulation.
+
+The reference executes this pipeline per-frame in numpy/OpenCV on the
+host; here the dense stages are jitted device programs.
+
+Usage: python benchmarks/ftp_bench.py [--width 1280 --height 720]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--reps", type=int, default=5)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    import simplestereo_tpu as ss
+    from simplestereo_tpu.active import buildFringe, StereoFTP
+    from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+    from simplestereo_tpu import warp
+
+    CAM = (args.width, args.height)
+    f = 1.1 * args.width
+    K = np.array([[f, 0, (args.width - 1) / 2],
+                  [0, f, (args.height - 1) / 2], [0, 0, 1.0]])
+    rig = ss.StereoRig(CAM, CAM, K, K, None, None,
+                       rodrigues_to_matrix(np.array([0.0, -0.05, 0.0])),
+                       np.array([[-300.], [1.0], [40.0]]))
+    period, z0 = 16.0, 4000.0
+    fringe = buildFringe(period, dims=CAM, stripeColor="red")
+
+    w, h = CAM
+    xs, ys = np.meshgrid(np.arange(w, dtype=float),
+                         np.arange(h, dtype=float))
+    rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ np.linalg.inv(K).T
+
+    def capture(z):
+        P = z * rays
+        q = (P @ np.asarray(rig.R).T + np.asarray(rig.T).ravel()) @ K.T
+        mu = (q[..., 0] / q[..., 2]).astype(np.float32)
+        mv = (q[..., 1] / q[..., 2]).astype(np.float32)
+        return np.asarray(warp.remap(
+            jnp.asarray(fringe), jnp.asarray(mu), jnp.asarray(mv),
+            interpolation="linear"))
+
+    # slightly different plane depths -> distinct inputs per rep
+    frames = [capture(z0 * (1 + 0.01 * i)) for i in range(args.reps)]
+
+    ftp = StereoFTP(rig, fringe, period)
+    t0 = time.perf_counter()
+    cloud = ftp.getCloud(frames[0])
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for fimg in frames:
+        t0 = time.perf_counter()
+        cloud = ftp.getCloud(fimg)
+        np.asarray(cloud)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    z = np.asarray(cloud)[h // 4:-h // 4, w // 4:-w // 4, 2]
+    z = z[np.isfinite(z)]
+    print(json.dumps({
+        "metric": "ftp_720p_cloud",
+        "seconds_per_frame": round(dt, 4),
+        "frames_per_s": round(1.0 / dt, 3),
+        "mpix_per_s": round(w * h / dt / 1e6, 2),
+        "first_call_s": round(compile_s, 1),
+        "median_center_z": round(float(np.median(z)), 1),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,9 +52,14 @@ def _projector_mapping_device(z, M, T, K2, dist2, fringe_gray, res):
     ys = jnp.arange(h, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)            # (h, w)
 
+    # TPU matmuls default to reduced (bf16-pass) precision; the pixel
+    # coordinates here need full f32 (a 2e-3 relative error is pixels).
+    prec = jax.lax.Precision.HIGHEST
+
     def project(gx, gy):
         p = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)   # (h, w, 3)
-        q = z * jnp.einsum("ij,hwj->hwi", M, p) + T[None, None, :]
+        q = z * jnp.einsum("ij,hwj->hwi", M, p, precision=prec) \
+            + T[None, None, :]
         xy = q[..., :2] / q[..., 2:3]
         xyd = distort_normalized(xy.reshape(-1, 2), dist2).reshape(h, w, 2)
         u = K2[0, 0] * xyd[..., 0] + K2[0, 1] * xyd[..., 1] + K2[0, 2]
@@ -94,6 +99,74 @@ def _unwrap2d(phase):
     """np.unwrap along x then along y (active.py:739-743)."""
     p = unwrapping.unwrap(phase, axis=1)
     return unwrapping.unwrap(p, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("roi",))
+def _dense_cloud_device(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
+                        Rect1, Rect2, R_inv3, baseline, roi):
+    """Dense epipolar triangulation (active.py:793-838) as ONE device
+    program: projector H points from phase, projector-optics
+    re-distortion (iterative ``undistort_points``), rectification of both
+    grids, disparity and depth. The reference runs this hottest stage on
+    the host with cv2.undistortPoints over the full pixel grid; here the
+    whole O(roi_h * roi_w) tail is jitted f32 XLA (the ~1e-3 px f32
+    rounding is orders below the phase noise)."""
+    from ..geometry import projection as gproj
+    from ..geometry import distortion as gdist
+
+    roi_x, roi_y, roi_w, roi_h = roi
+    # full-f32 matmuls: TPU reduced precision costs whole pixels here
+    with jax.default_matmul_precision("highest"):
+        two_pi = 2 * jnp.pi
+        phase = phaseUnwrapped + k * two_pi
+        Xa = projCoords[..., 0]
+        Ya = projCoords[..., 1]
+        Xh = Xa + phase / (two_pi * fp)
+        Yh = ((Xh - ep[0]) / (Xa - ep[0])) * (Ya - ep[1]) + ep[1]
+        H = jnp.stack([Xh, Yh], -1).reshape(-1, 2)
+        H = gdist.undistort_points(H, K2, dist2, P=K2)
+
+        gx, gy = jnp.meshgrid(jnp.arange(roi_w, dtype=jnp.float32),
+                              jnp.arange(roi_h, dtype=jnp.float32))
+        pc = jnp.stack([gx + roi_x + 0.5, gy + roi_y + 0.5],
+                       -1).reshape(-1, 2)
+        pc = gproj.perspective_transform(pc, Rect1)
+        pp = gproj.perspective_transform(H, Rect2)
+        disparity = jnp.abs(pp[:, :1] - pc[:, :1])
+        pch = jnp.concatenate([pc, jnp.ones((pc.shape[0], 1), pc.dtype)], 1)
+        pw = baseline * pch / jnp.where(disparity > 1e-12, disparity,
+                                        jnp.nan)
+        out = pw @ R_inv3.T
+    return out.reshape(roi_h, roi_w, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("res", "roi"))
+def _ftp_cloud_fused(gray_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
+                     stripe_idx, peak, fp, ep, Rect1, Rect2, R_inv3,
+                     baseline, *, res, roi):
+    """The whole post-stripe FTP pipeline as ONE device program:
+    projector mapping + virtual reference, row-FFT band-pass phase,
+    2-D unwrap, fringe-order k from the stripe, dense epipolar
+    triangulation. One dispatch instead of five (each costs ~25 ms
+    through a remote-device tunnel)."""
+    roi_x, roi_y, roi_w, roi_h = roi
+    # nested jitted calls inline into this trace — still one dispatch
+    proj_coords, virtual_ref = _projector_mapping_device(
+        z, M, T, K2, dist2, fringe_gray, res=res)
+    proj_coords = proj_coords[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
+    virtual_ref = virtual_ref[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
+
+    phase = _phase_pipeline(gray_obj, virtual_ref, fmin, fmax)
+    pu = _unwrap2d(phase)
+
+    theta = pu[stripe_idx[:, 1], stripe_idx[:, 0]]
+    u_A = proj_coords[stripe_idx[:, 1], stripe_idx[:, 0], 0]
+    k = (peak - u_A) * fp - theta / (2 * jnp.pi)
+    k = jnp.ceil(jnp.mean(k) - 0.5)
+
+    return _dense_cloud_device(
+        proj_coords, pu, k, ep, fp, K2, dist2, Rect1, Rect2, R_inv3,
+        baseline, roi=roi)
 
 
 class StereoFTP:
@@ -141,6 +214,13 @@ class StereoFTP:
             return img.astype(np.float64)
         return np.max(img, axis=2).astype(np.float64)
 
+    @staticmethod
+    def convertGrayscaleDevice(img):
+        """Device twin of :meth:`convertGrayscale` (jnp, stays on device)."""
+        if img.ndim == 2:
+            return img.astype(jnp.float32)
+        return jnp.max(img, axis=2).astype(jnp.float32)
+
     # -- internals ---------------------------------------------------------
 
     def _getProjectorMapping(self, z):
@@ -154,7 +234,7 @@ class StereoFTP:
             jnp.asarray(pad_dist_coeffs(rig.distCoeffs2)),
             jnp.asarray(self.fringe, jnp.float32),
             res=tuple(rig.res1))
-        return np.asarray(proj_coords, np.float64), np.asarray(virtual_ref)
+        return proj_coords, virtual_ref  # device-resident (h, w, 2)/(h, w)
 
     def _calculateCameraFrequency(self, objPoints):
         """Per-point carrier frequency on the camera (active.py:495-559)."""
@@ -228,8 +308,10 @@ class StereoFTP:
         rig = self.stereoRig
         widthC, heightC = rig.res1
 
-        imgObj = np.asarray(warp.undistort_image(
-            imgObj, rig.intrinsic1, rig.distCoeffs1))
+        # Device-resident from here: the undistorted frame never crosses
+        # back to the host (the reference round-trips every dense stage).
+        imgObj = warp.undistort_image(imgObj, rig.intrinsic1,
+                                      rig.distCoeffs1)
         if roi is not None:
             roi_x, roi_y, roi_w, roi_h = roi
             imgObj = imgObj[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
@@ -237,7 +319,8 @@ class StereoFTP:
             roi = (0, 0, widthC, heightC)
             roi_x, roi_y, roi_w, roi_h = roi
 
-        # carrier frequency from the central stripe
+        # carrier frequency from the central stripe (device centroids,
+        # (H,)-sized host fill)
         stripe_cam = findCentralStripe(imgObj, self.stripeColor,
                                        self.stripeSensitivity)
         if stripe_cam is None:
@@ -249,56 +332,68 @@ class StereoFTP:
         z_plane = float(np.nanmean(stripe_world[:, 2]))
         fc = self._calculateCameraFrequency(stripe_world)
 
-        # virtual reference plane
+        imgObj_gray = self.convertGrayscaleDevice(imgObj)
+        radius = radius_factor * fc
+        rigM = (np.asarray(rig.R, np.float64)
+                @ np.linalg.inv(np.asarray(rig.intrinsic1, np.float64)))
+
+        if unwrappingMethod is None:
+            # whole post-stripe pipeline in one device dispatch
+            finalPoints = _ftp_cloud_fused(
+                jnp.asarray(imgObj_gray, jnp.float32),
+                jnp.float32(z_plane), jnp.asarray(rigM, jnp.float32),
+                jnp.asarray(np.asarray(rig.T, np.float64).ravel(),
+                            jnp.float32),
+                jnp.asarray(rig.intrinsic2, jnp.float32),
+                jnp.asarray(pad_dist_coeffs(rig.distCoeffs2)),
+                jnp.asarray(self.fringe, jnp.float32),
+                jnp.asarray(fc - radius, jnp.float32),
+                jnp.asarray(fc + radius, jnp.float32),
+                jnp.asarray(stripe_idx, jnp.int32),
+                jnp.float32(self.stripeCentralPeak), jnp.float32(self.fp),
+                jnp.asarray(self.ep, jnp.float32),
+                jnp.asarray(self.Rectify1, jnp.float32),
+                jnp.asarray(self.Rectify2, jnp.float32),
+                jnp.asarray(self.R_inv[:3, :3], jnp.float32),
+                jnp.float32(rig.getBaseline()),
+                res=tuple(rig.res1), roi=tuple(int(v) for v in roi))
+            return np.asarray(finalPoints, np.float64)
+
+        # custom unwrapping callback: staged path with a host round-trip
         projCoords, imgR_gray = self._getProjectorMapping(z_plane)
         imgR_gray = imgR_gray[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
         projCoords = projCoords[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
 
-        imgObj_gray = self.convertGrayscale(imgObj)
-
-        radius = radius_factor * fc
-        phase = np.asarray(_phase_pipeline(
+        phase = _phase_pipeline(
             jnp.asarray(imgObj_gray, jnp.float32),
             jnp.asarray(imgR_gray, jnp.float32),
             jnp.asarray(fc - radius, jnp.float32),
-            jnp.asarray(fc + radius, jnp.float32)))
+            jnp.asarray(fc + radius, jnp.float32))
 
-        if unwrappingMethod is None:
-            phaseUnwrapped = np.asarray(
-                _unwrap2d(jnp.asarray(phase, jnp.float32)), np.float64)
-        else:
-            phaseUnwrapped = np.asarray(unwrappingMethod(phase), np.float64)
+        phaseUnwrapped = jnp.asarray(
+            unwrappingMethod(np.asarray(phase)), jnp.float32)
 
-        # integer fringe order k from the stripe (active.py:779-791)
-        theta = phaseUnwrapped[stripe_idx[:, 1], stripe_idx[:, 0]]
-        u_A = projCoords[stripe_idx[:, 1], stripe_idx[:, 0]][:, 0]
+        # integer fringe order k from the stripe (active.py:779-791);
+        # small gathers -> host scalars
+        theta = np.asarray(
+            phaseUnwrapped[stripe_idx[:, 1], stripe_idx[:, 0]], np.float64)
+        u_A = np.asarray(
+            projCoords[stripe_idx[:, 1], stripe_idx[:, 0], 0], np.float64)
         k = (self.stripeCentralPeak - u_A) * self.fp - theta / (2 * np.pi)
-        k = np.ceil(np.mean(k) - 0.5)
-        phaseUnwrapped = (phaseUnwrapped + k * 2 * np.pi).reshape(-1, 1)
+        k = float(np.ceil(np.mean(k) - 0.5))
 
-        # projector H points on the epipolar line through the epipole
-        Xa = projCoords[:, :, 0].reshape(-1, 1)
-        Ya = projCoords[:, :, 1].reshape(-1, 1)
-        Xh = Xa + phaseUnwrapped / (2 * np.pi * self.fp)
-        ep = self.ep
-        Yh = ((Xh - ep[0]) / (Xa - ep[0])) * (Ya - ep[1]) + ep[1]
-        H = np.hstack([Xh, Yh])
-        H = npgeom.undistort_points(
-            H, rig.intrinsic2, rig.distCoeffs2, P=rig.intrinsic2)
-
-        # dense triangulation (active.py:819-838)
-        gx, gy = np.meshgrid(np.arange(roi_w), np.arange(roi_h))
-        pc = np.stack([gx + roi_x, gy + roi_y], -1).reshape(-1, 2) \
-            .astype(np.float64) + 0.5
-        pc = npgeom.perspective_transform(pc, self.Rectify1)
-        pc = np.hstack([pc, np.ones((roi_w * roi_h, 1))])
-        pp = npgeom.perspective_transform(H, self.Rectify2)
-        disparity = np.abs(pp[:, [0]] - pc[:, [0]])
-        finalPoints = rig.getBaseline() * (
-            pc / np.where(disparity > 1e-12, disparity, np.nan))
-        finalPoints = npgeom.perspective_transform(
-            finalPoints.reshape(-1, 1, 3), self.R_inv)
-        return finalPoints.reshape(roi_h, roi_w, 3)
+        # projector H points + dense epipolar triangulation
+        # (active.py:793-838) fused into one device program
+        finalPoints = _dense_cloud_device(
+            projCoords, phaseUnwrapped, jnp.float32(k),
+            jnp.asarray(self.ep, jnp.float32), jnp.float32(self.fp),
+            jnp.asarray(rig.intrinsic2, jnp.float32),
+            jnp.asarray(pad_dist_coeffs(rig.distCoeffs2)),
+            jnp.asarray(self.Rectify1, jnp.float32),
+            jnp.asarray(self.Rectify2, jnp.float32),
+            jnp.asarray(self.R_inv[:3, :3], jnp.float32),
+            jnp.float32(rig.getBaseline()), roi=tuple(int(v) for v in roi))
+        return np.asarray(finalPoints, np.float64)
 
 
 class StereoFTPAnaglyph(StereoFTP):
@@ -314,6 +409,14 @@ class StereoFTPAnaglyph(StereoFTP):
         d = img[:, :, 0].astype(np.float64) - img[:, :, 2].astype(np.float64)
         ptp = np.ptp(d)
         return (d - d.min()) / (ptp if ptp > 0 else 1.0)
+
+    @staticmethod
+    def convertGrayscaleDevice(img):
+        if img.ndim == 2:
+            return img.astype(jnp.float32)
+        d = img[:, :, 0].astype(jnp.float32) - img[:, :, 2].astype(jnp.float32)
+        ptp = jnp.ptp(d)
+        return (d - jnp.min(d)) / jnp.where(ptp > 0, ptp, 1.0)
 
 
 class StereoFTP_Mapping(StereoFTP):

@@ -8,9 +8,48 @@ detection (cleaned-up :func:`computeROI`, active.py:1611-1695 — the
 reference marks its version "not suitable for production").
 """
 
+import functools
+
 import numpy as np
 
 _CHANNEL = {"b": 0, "blue": 0, "g": 1, "green": 1, "r": 2, "red": 2}
+
+
+@functools.lru_cache(maxsize=1)
+def _jax():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+@functools.lru_cache(maxsize=1)
+def _stripe_centroids_jit():
+    jax, jnp = _jax()
+
+    @functools.partial(jax.jit, static_argnames=("c",))
+    def run(img, thr, c):
+        img = img.astype(jnp.float32)
+        ch = img[:, :, c]
+        others = jnp.min(
+            jnp.stack([img[:, :, i] for i in range(3) if i != c]), axis=0)
+        fringe = jnp.clip(ch - others, 0.0, None)
+        fringe = jnp.where(fringe < thr, 0.0, fringe)
+        den = fringe.sum(axis=1)
+        num = (fringe * jnp.arange(img.shape[1], dtype=jnp.float32)).sum(1)
+        return num / den  # NaN rows where den == 0
+
+    return run
+
+
+def _stripe_centroids_device(image, channel, thr):
+    """Per-row stripe centroids on device (NaN where no stripe).
+
+    Device twin of the numpy math in :func:`findCentralStripe`, used when
+    the caller's image is already device-resident (e.g. the FTP pipeline)
+    so the full frame never crosses back to the host.
+    """
+    _, jnp = _jax()
+    return _stripe_centroids_jit()(image, jnp.float32(thr), channel)
 
 
 def findCentralStripe(image, color="r", sensitivity=0.5,
@@ -29,26 +68,36 @@ def findCentralStripe(image, color="r", sensitivity=0.5,
         raise ValueError("Threshold must be in the interval [0,1]!")
     if color not in _CHANNEL:
         raise ValueError("Color value not permitted!")
-    image = np.asarray(image)
-    h, w = image.shape[:2]
-    max_value = np.iinfo(image.dtype).max if image.dtype.kind in "iu" \
-        else 1.0
-    # Excess-color weighting, not the raw channel: the reference
-    # thresholds image[:, :, c] directly (active.py:308-320), which also
-    # passes the neutral (white) fringe ridges that contain the stripe
-    # color. Subtracting the *minimum* of the other channels removes the
-    # neutral-light component while keeping overlaid stripes (anaglyph:
-    # G sits on top of the R carrier) intact.
     c = _CHANNEL[color]
-    ch = image[:, :, c].astype(np.float64)
-    others = np.min(np.delete(image.astype(np.float64), c, axis=2), axis=2)
-    fringe = np.clip(ch - others, 0.0, None)
-    fringe[fringe < max_value * sensitivity] = 0
+    h, w = image.shape[:2]
+    dt = np.dtype(str(image.dtype)) if hasattr(image, "dtype") else None
+    max_value = np.iinfo(dt).max if dt is not None and dt.kind in "iu" \
+        else 1.0
 
-    i = np.arange(w)[None, :]
-    den = fringe.sum(axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        x = (fringe * i).sum(axis=1) / den
+    if type(image).__module__.split(".")[0] == "jaxlib" or \
+            type(image).__module__.split(".")[0] == "jax":
+        # Device-resident image: centroid math on device, only the (H,)
+        # vector crosses to the host for the NaN fill below.
+        x = np.asarray(_stripe_centroids_device(
+            image, c, max_value * sensitivity), np.float64)
+    else:
+        image = np.asarray(image)
+        # Excess-color weighting, not the raw channel: the reference
+        # thresholds image[:, :, c] directly (active.py:308-320), which
+        # also passes the neutral (white) fringe ridges that contain the
+        # stripe color. Subtracting the *minimum* of the other channels
+        # removes the neutral-light component while keeping overlaid
+        # stripes (anaglyph: G sits on top of the R carrier) intact.
+        ch = image[:, :, c].astype(np.float64)
+        others = np.min(
+            np.delete(image.astype(np.float64), c, axis=2), axis=2)
+        fringe = np.clip(ch - others, 0.0, None)
+        fringe[fringe < max_value * sensitivity] = 0
+
+        i = np.arange(w)[None, :]
+        den = fringe.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = (fringe * i).sum(axis=1) / den
 
     if np.isnan(x).all():
         return None

@@ -57,11 +57,19 @@ TAD_CAP = 40.0
 LAB_SENTINEL = 1.0e6  # exp(-sentinel/gammaC) underflows to exactly 0.0
 _VMEM_BUDGET = 48 * 1024 * 1024  # scratch budget for tile-height choice
 # Mosaic unrolls vector ops over 8x128 native tiles, so compile time and
-# instruction count scale with tile_h * w_acc; and past ~24 native tiles
-# per op the kernel slows down again (measured Tsukuba win=35 kernel pass:
-# tile 16/32/64/96 -> 81.9/61.9/57.4/89.4 ms, compile 16/33/97/202 s).
-# Cap the band area at the measured sweet spot.
-_MAX_TILE_CELLS = 64 * 384
+# instruction count scale with tile_h * w_acc, and past a width-dependent
+# band height the kernel slows down again. Measured win=35 kernel passes:
+#   W=384:  tile 16/32/64/96 -> 81.9/61.9/57.4/89.4 ms (compile 16..202s)
+#   W=1280: tile 16/24/32/48 -> 270/368/218/213 ms     (compile 106..466s)
+# Sweet spots: ~64 rows at narrow widths, ~32 rows at 1280; tile 24 (an
+# odd sublane-tile count) regressed badly, so candidates above 16 rows
+# stick to multiples of 16.
+def _max_tile_rows(w_acc):
+    if w_acc <= 512:
+        return 64
+    if w_acc <= 896:
+        return 48
+    return 32
 
 
 def _round_up(x, m):
@@ -81,9 +89,11 @@ def _pick_tile_h(H, W, win_size, D):
     pad = win_size // 2
     w_acc, w_slab = _layout(W, win_size)
     h8 = _round_up(max(H, 8), 8)
-    t_cap = max(8, (_MAX_TILE_CELLS // w_acc) // 8 * 8)
+    t_cap = _max_tile_rows(w_acc)
     best = None
-    for t in range(8, min(h8, t_cap) + 8, 8):
+    for t in (8, 16, 32, 48, 64, 80, 96):
+        if t > min(h8, t_cap):
+            break
         slab = _round_up(t + 2 * pad, 8)
         vmem = ((12 + D) * slab * w_slab + (2 * D + 1) * t * w_acc) * 4
         if vmem > _VMEM_BUDGET:

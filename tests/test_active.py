@@ -279,3 +279,22 @@ def test_ftp_phase_only(ftp_scene):
     # object == reference plane -> phase difference ~ constant (~0)
     inner = phase[20:-20, 20:-20]
     assert np.nanstd(inner) < 0.5
+
+
+def test_ftp_custom_unwrapping_method(ftp_scene):
+    """The staged path with a host unwrapping callback must agree with
+    the fused default path (same algorithm, different plumbing)."""
+    ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],
+                    ftp_scene["period"])
+    fused = np.asarray(ftp.getCloud(ftp_scene["cam_img"]))
+
+    def unwrap_np(phase):
+        return np.unwrap(np.unwrap(phase, axis=1), axis=0)
+
+    staged = np.asarray(ftp.getCloud(ftp_scene["cam_img"],
+                                     unwrappingMethod=unwrap_np))
+    c = np.s_[20:-20, 20:-20, 2]
+    a, b = fused[c], staged[c]
+    ok = np.isfinite(a) & np.isfinite(b)
+    assert ok.mean() > 0.9
+    np.testing.assert_allclose(a[ok], b[ok], rtol=5e-3)
