@@ -55,7 +55,15 @@ from .asw_ref import occlusion_fill
 
 TAD_CAP = 40.0
 LAB_SENTINEL = 1.0e6  # exp(-sentinel/gammaC) underflows to exactly 0.0
-_VMEM_BUDGET = 48 * 1024 * 1024  # scratch budget for tile-height choice
+# Scratch budget for the tile-height choice; the kernel's hard
+# vmem_limit is 100 MB, and large-D configs (e.g. 720p, D=90) are
+# budget-bound: 76 MB admits a 16-row band there (tile 8 costs ~25%).
+_VMEM_BUDGET = 76 * 1024 * 1024
+# Above this disparity count the kernel switches from fully-unrolled
+# disparity loops to fori_loops with incrementally-rolled carries: same
+# per-element work, O(1) IR (Mosaic compile time scales with unrolled
+# statement count — D=90 at 720p compiled for 24 min unrolled).
+_D_UNROLL = 16
 # Mosaic unrolls vector ops over 8x128 native tiles, so compile time and
 # instruction count scale with tile_h * w_acc, and past a width-dependent
 # band height the kernel slows down again. Measured win=35 kernel passes:
@@ -95,7 +103,9 @@ def _pick_tile_h(H, W, win_size, D):
         if t > min(h8, t_cap):
             break
         slab = _round_up(t + 2 * pad, 8)
-        vmem = ((12 + D) * slab * w_slab + (2 * D + 1) * t * w_acc) * 4
+        # rolled-TAD scratch doubles the volume on the large-D fori path
+        n_tad = D if D <= _D_UNROLL else 2 * D
+        vmem = ((12 + n_tad) * slab * w_slab + (2 * D + 1) * t * w_acc) * 4
         if vmem > _VMEM_BUDGET:
             break
         n = -(-H // t)
@@ -131,9 +141,9 @@ def _slab_rows(win_size, tile_h):
     return _round_up(tile_h + 2 * (win_size // 2), 8)
 
 
-def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
-                pad, w_acc, w_slab, min_disp, max_disp, gamma_c, win_size,
-                tile_h, step):
+def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, tadr, num, den,
+                sem, *, pad, w_acc, w_slab, min_disp, max_disp, gamma_c,
+                win_size, tile_h, step):
     """One program = one band of ``tile_h`` output rows.
 
     prox_ref : (win, win) f32 in SMEM — exp(-2*sqrt(di^2+dj^2)/gammaP).
@@ -155,12 +165,27 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
 
     # TAD volume over the whole slab (halo rows included):
     # tad[dd](r, c) = min(40, SAD(ref(r, c), tgt(r, c - d))).
-    for dd in range(D):
-        d = min_disp + dd
-        sad = jnp.zeros((_slab_rows(win_size, th), w_slab), jnp.float32)
-        for c in range(3):
-            sad = sad + jnp.abs(slab[6 + c] - _roll_const(slab[9 + c], d))
-        tad[dd] = jnp.minimum(sad, TAD_CAP)
+    sr = _slab_rows(win_size, th)
+    if D <= _D_UNROLL:
+        for dd in range(D):
+            d = min_disp + dd
+            sad = jnp.zeros((sr, w_slab), jnp.float32)
+            for c in range(3):
+                sad = sad + jnp.abs(slab[6 + c]
+                                    - _roll_const(slab[9 + c], d))
+            tad[dd] = jnp.minimum(sad, TAD_CAP)
+    else:
+        # Large D: fori with an incrementally rolled carry — same math,
+        # O(1) IR instead of O(D) (Mosaic compile time scales with
+        # unrolled statement count; D=90 unrolled compiled for 24 min).
+        def tad_body(dd, tgt_rolled):
+            sad = jnp.zeros((sr, w_slab), jnp.float32)
+            for c in range(3):
+                sad = sad + jnp.abs(slab[6 + c] - tgt_rolled[c])
+            tad[dd] = jnp.minimum(sad, TAD_CAP)
+            return [_roll_const(t, 1) for t in tgt_rolled]
+        init = [_roll_const(slab[9 + c], min_disp) for c in range(3)]
+        jax.lax.fori_loop(0, D, tad_body, init)
 
     zeros = jnp.zeros((D, th, w_acc), jnp.float32)
     num[...] = zeros
@@ -182,7 +207,13 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
         j = (m - half_j) * step + pad
         shift = pad - j  # rolled[c] = plane[c + (j - pad)]
         rolled = [pltpu.roll(slab[c], shift, axis=1) for c in range(6)]
-        tadr = [pltpu.roll(tad[dd], shift, axis=1) for dd in range(D)]
+        if D <= _D_UNROLL:
+            tad_j = [pltpu.roll(tad[dd], shift, axis=1) for dd in range(D)]
+        else:
+            def roll_tad(dd, _):
+                tadr[dd] = pltpu.roll(tad[dd], shift, axis=1)
+                return 0
+            jax.lax.fori_loop(0, D, roll_tad, 0)
 
         for i in i_offsets:  # static: sublane slices must be static
             def lab_sim(base):
@@ -197,12 +228,24 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, num, den, sem, *,
             e1 = lab_sim(0) * prox2
             e2 = lab_sim(3)
 
-            for dd in range(D):
-                d = min_disp + dd
-                w = e1 * _roll_const(e2, d)
-                t = tadr[dd][i:i + th, pad:pad + w_acc]
-                num[dd] = num[dd] + w * t
-                den[dd] = den[dd] + w
+            if D <= _D_UNROLL:
+                for dd in range(D):
+                    d = min_disp + dd
+                    w = e1 * _roll_const(e2, d)
+                    t = tad_j[dd][i:i + th, pad:pad + w_acc]
+                    num[dd] = num[dd] + w * t
+                    den[dd] = den[dd] + w
+            else:
+                # fori over disparities with an incrementally rolled
+                # carry: roll-by-1 is a static relayout, so per-step cost
+                # matches the unrolled roll-by-d — only the IR shrinks.
+                def dd_body(dd, e2r):
+                    w = e1 * e2r
+                    t = tadr[dd][i:i + th, pad:pad + w_acc]
+                    num[dd] = num[dd] + w * t
+                    den[dd] = den[dd] + w
+                    return _roll_const(e2r, 1)
+                jax.lax.fori_loop(0, D, dd_body, _roll_const(e2, min_disp))
         return 0
 
     jax.lax.fori_loop(0, n_j, col_body, 0)
@@ -253,6 +296,9 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
                        jnp.float32),
             pltpu.VMEM((D, _slab_rows(win_size, tile_h), w_slab),
                        jnp.float32),
+            # per-column rolled TAD, used only on the large-D fori path
+            pltpu.VMEM(((D, _slab_rows(win_size, tile_h), w_slab)
+                        if D > _D_UNROLL else (1, 8, 128)), jnp.float32),
             pltpu.VMEM((D, tile_h, w_acc), jnp.float32),
             pltpu.VMEM((D, tile_h, w_acc), jnp.float32),
             pltpu.SemaphoreType.DMA,

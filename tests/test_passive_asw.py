@@ -189,3 +189,20 @@ def test_gsw_mutual_information_radiometric_robustness(rng):
     assert (mi[inner] == 2).mean() > (sd[inner] == 2).mean() + 0.3
     with pytest.raises(ValueError):
         StereoGSW(costMethod="nope")
+
+
+@pytest.mark.parametrize("consistent", [False, True])
+def test_pallas_matches_oracle_large_d(rng, consistent):
+    """D > _D_UNROLL switches to the fori disparity loop with an
+    incrementally rolled carry — must match the oracle exactly like the
+    unrolled path."""
+    img1 = rng.integers(0, 256, (16, 56, 3), np.uint8)
+    img2 = np.roll(img1, -4, axis=1)
+    a = np.asarray(asw_disparity_ref(
+        img1, img2, win_size=5, max_disp=20, min_disp=1,
+        consistent=consistent))
+    b = np.asarray(asw_disparity(
+        img1, img2, win_size=5, max_disp=20, min_disp=1,
+        consistent=consistent))
+    mismatch = (a != b).mean()
+    assert mismatch <= 0.012, f"pallas/oracle mismatch {mismatch:.2%}"
