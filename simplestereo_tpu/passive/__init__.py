@@ -85,6 +85,27 @@ class StereoASW:
             consistent=self.consistent, step=self.step)
         return np.asarray(out)
 
+    def computeBatch(self, imgs1, imgs2):
+        """Batched :meth:`compute` over leading-axis frame stacks.
+
+        (B, H, W, 3) pairs -> (B, H, W) int16 disparity. Frames are
+        dispatched sequentially (a single TensorCore serializes the
+        kernel anyway, and both vmap and lax.map around the HBM-resident
+        Pallas operand lower poorly on TPU — measured 100x slower);
+        one compile is shared across the batch. For multi-chip batches
+        shard frames with
+        :func:`simplestereo_tpu.parallel.batch_parallel`.
+        Bit-identical to per-frame :meth:`compute`.
+        """
+        imgs1 = np.ascontiguousarray(imgs1)
+        imgs2 = np.ascontiguousarray(imgs2)
+        if imgs1.ndim != 4 or imgs1.shape[3] != 3 \
+                or imgs1.shape != imgs2.shape:
+            raise ValueError(
+                "Batches must be (B, H, W, 3) BGR with identical shapes!")
+        return np.stack([self.compute(a, b)
+                         for a, b in zip(imgs1, imgs2)])
+
 
 __all__ = [
     "bgr_to_lab",

@@ -192,3 +192,21 @@ def test_sharded_ba_matches_truth(synth):
         calibrate_camera_sharded(
             np.tile(obj[None], (3, 1, 1)), np.stack(imgs[:3]), K0,
             np.zeros(5), mesh, axis="views")
+
+
+@pytest.mark.slow
+def test_chessboard_detection_other_suites(ref_res):
+    """Robustness across the reference's other two real 1280x720
+    calibration suites (res/1: 37 pairs, res/new: 13 pairs)."""
+    import glob
+    from simplestereo_tpu.imgio import imread
+    from simplestereo_tpu.calibration.chessboard import \
+        find_chessboard_corners
+
+    for suite in ("1/calib", "new"):
+        files = sorted(glob.glob(str(ref_res / suite / "*_L.png")))[:8]
+        assert files, suite
+        found = sum(
+            find_chessboard_corners(imread(f, grayscale=True), (7, 6))
+            is not None for f in files)
+        assert found == len(files), f"{suite}: {found}/{len(files)}"

@@ -206,3 +206,16 @@ def test_pallas_matches_oracle_large_d(rng, consistent):
         consistent=consistent))
     mismatch = (a != b).mean()
     assert mismatch <= 0.012, f"pallas/oracle mismatch {mismatch:.2%}"
+
+
+def test_compute_batch_matches_single(rng):
+    from simplestereo_tpu.passive import StereoASW
+    imgs1 = rng.integers(0, 256, (3, 20, 40, 3), np.uint8)
+    imgs2 = np.roll(imgs1, -2, axis=2)
+    m = StereoASW(winSize=5, maxDisparity=4, consistent=True)
+    batch = m.computeBatch(imgs1, imgs2)
+    assert batch.shape == (3, 20, 40) and batch.dtype == np.int16
+    for i in range(3):
+        np.testing.assert_array_equal(batch[i], m.compute(imgs1[i], imgs2[i]))
+    with pytest.raises(ValueError):
+        m.computeBatch(imgs1[0], imgs2[0])
