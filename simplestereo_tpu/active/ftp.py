@@ -140,16 +140,23 @@ def _dense_cloud_device(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
     return out.reshape(roi_h, roi_w, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("res", "roi"))
-def _ftp_cloud_fused(gray_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
+@functools.partial(jax.jit, static_argnames=("res", "roi", "gray_mode"))
+def _ftp_cloud_fused(img_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
                      stripe_idx, peak, fp, ep, Rect1, Rect2, R_inv3,
-                     baseline, *, res, roi):
+                     baseline, *, res, roi, gray_mode):
     """The whole post-stripe FTP pipeline as ONE device program:
-    projector mapping + virtual reference, row-FFT band-pass phase,
-    2-D unwrap, fringe-order k from the stripe, dense epipolar
-    triangulation. One dispatch instead of five (each costs ~25 ms
-    through a remote-device tunnel)."""
+    grayscale conversion, projector mapping + virtual reference, row-FFT
+    band-pass phase, 2-D unwrap, fringe-order k from the stripe, dense
+    epipolar triangulation. One dispatch instead of six (each costs
+    ~25 ms through a remote-device tunnel)."""
     roi_x, roi_y, roi_w, roi_h = roi
+    if gray_mode == "br":  # StereoFTPAnaglyph: normalized B - R [Guo 1990]
+        d = (img_obj[:, :, 0].astype(jnp.float32)
+             - img_obj[:, :, 2].astype(jnp.float32))
+        ptp = jnp.ptp(d)
+        gray_obj = (d - jnp.min(d)) / jnp.where(ptp > 0, ptp, 1.0)
+    else:                  # per-pixel max keeps the stripe white
+        gray_obj = jnp.max(img_obj, axis=2).astype(jnp.float32)
     # nested jitted calls inline into this trace — still one dispatch
     proj_coords, virtual_ref = _projector_mapping_device(
         z, M, T, K2, dist2, fringe_gray, res=res)
@@ -183,6 +190,8 @@ class StereoFTP:
         Fringe period on the projector, in pixels.
     shift, stripeColor, stripeSensitivity : see the reference.
     """
+
+    _GRAY_MODE = "max"  # fused-path grayscale (see convertGrayscale)
 
     def __init__(self, stereoRig, fringe, period, shift=0,
                  stripeColor="red", stripeSensitivity=0.5):
@@ -332,7 +341,6 @@ class StereoFTP:
         z_plane = float(np.nanmean(stripe_world[:, 2]))
         fc = self._calculateCameraFrequency(stripe_world)
 
-        imgObj_gray = self.convertGrayscaleDevice(imgObj)
         radius = radius_factor * fc
         rigM = (np.asarray(rig.R, np.float64)
                 @ np.linalg.inv(np.asarray(rig.intrinsic1, np.float64)))
@@ -340,7 +348,7 @@ class StereoFTP:
         if unwrappingMethod is None:
             # whole post-stripe pipeline in one device dispatch
             finalPoints = _ftp_cloud_fused(
-                jnp.asarray(imgObj_gray, jnp.float32),
+                jnp.asarray(imgObj),
                 jnp.float32(z_plane), jnp.asarray(rigM, jnp.float32),
                 jnp.asarray(np.asarray(rig.T, np.float64).ravel(),
                             jnp.float32),
@@ -356,10 +364,12 @@ class StereoFTP:
                 jnp.asarray(self.Rectify2, jnp.float32),
                 jnp.asarray(self.R_inv[:3, :3], jnp.float32),
                 jnp.float32(rig.getBaseline()),
-                res=tuple(rig.res1), roi=tuple(int(v) for v in roi))
+                res=tuple(rig.res1), roi=tuple(int(v) for v in roi),
+                gray_mode=self._GRAY_MODE)
             return np.asarray(finalPoints, np.float64)
 
         # custom unwrapping callback: staged path with a host round-trip
+        imgObj_gray = self.convertGrayscaleDevice(imgObj)
         projCoords, imgR_gray = self._getProjectorMapping(z_plane)
         imgR_gray = imgR_gray[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
         projCoords = projCoords[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
@@ -400,6 +410,8 @@ class StereoFTPAnaglyph(StereoFTP):
     """FTP with the anaglyph fringe of :func:`buildAnaglyphFringe`
     (parity: active.py:844-1128): grayscale is the normalized B - R
     difference [Guo 1990], which suppresses the DC term."""
+
+    _GRAY_MODE = "br"
 
     @staticmethod
     def convertGrayscale(img):

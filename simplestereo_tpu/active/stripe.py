@@ -69,19 +69,19 @@ def findCentralStripe(image, color="r", sensitivity=0.5,
     if color not in _CHANNEL:
         raise ValueError("Color value not permitted!")
     c = _CHANNEL[color]
+    is_device = type(image).__module__.split(".")[0] in ("jax", "jaxlib")
+    if not is_device:
+        image = np.asarray(image)
     h, w = image.shape[:2]
-    dt = np.dtype(str(image.dtype)) if hasattr(image, "dtype") else None
-    max_value = np.iinfo(dt).max if dt is not None and dt.kind in "iu" \
-        else 1.0
+    dt = np.dtype(str(image.dtype))
+    max_value = np.iinfo(dt).max if dt.kind in "iu" else 1.0
 
-    if type(image).__module__.split(".")[0] == "jaxlib" or \
-            type(image).__module__.split(".")[0] == "jax":
+    if is_device:
         # Device-resident image: centroid math on device, only the (H,)
         # vector crosses to the host for the NaN fill below.
         x = np.asarray(_stripe_centroids_device(
             image, c, max_value * sensitivity), np.float64)
     else:
-        image = np.asarray(image)
         # Excess-color weighting, not the raw channel: the reference
         # thresholds image[:, :, c] directly (active.py:308-320), which
         # also passes the neutral (white) fringe ridges that contain the

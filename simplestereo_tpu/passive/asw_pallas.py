@@ -99,7 +99,7 @@ def _pick_tile_h(H, W, win_size, D):
     h8 = _round_up(max(H, 8), 8)
     t_cap = _max_tile_rows(w_acc)
     best = None
-    for t in (8, 16, 32, 48, 64, 80, 96):
+    for t in (8, 16, 32, 48, 64):
         if t > min(h8, t_cap):
             break
         slab = _round_up(t + 2 * pad, 8)

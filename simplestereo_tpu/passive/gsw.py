@@ -30,9 +30,9 @@ Here it IS implemented (``costMethod="mi"``): the per-pixel
 images to ``bins`` gray levels, build the joint histogram over currently
 matched pairs, Parzen-smooth, and use
 ``mi(i, j) = h12(i, j) - h1(i) - h2(j)`` as the per-pixel matching cost,
-iterated from the previous disparity estimate (initialized by one
-squared-differences pass). Geodesic weights aggregate the MI cost exactly
-like the color cost.
+iterated from the previous disparity estimate (bootstrapped from a
+random disparity field, Hirschmuller 2008 §2.1). Geodesic weights
+aggregate the MI cost exactly like the color cost.
 
 Complexity is O(H*W*win^4*iterations) for the weights — inherently the
 reference's design; use :class:`StereoASW` or :class:`StereoSGM` for
@@ -53,10 +53,13 @@ def _color_dist(a, b):
 
 
 def _parzen(h, sigma=1.0, radius=3):
-    """Separable Gaussian (Parzen window) smoothing of a 2-D table."""
+    """Separable Gaussian (Parzen window) smoothing of a 1-D or 2-D
+    table."""
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x / sigma) ** 2)
     k = k / k.sum()
+    if h.ndim == 1:
+        return jnp.convolve(h, k, mode="same")
     smooth_rows = jax.vmap(lambda v: jnp.convolve(v, k, mode="same"))
     return smooth_rows(smooth_rows(h).T).T
 
@@ -86,11 +89,7 @@ def _mi_cost_table(q1, q2, disp, valid, *, bins):
     P2 = P12.sum(0)
 
     def h_marg(p):
-        x = jnp.arange(-3, 4, dtype=jnp.float32)
-        k = jnp.exp(-0.5 * x ** 2)
-        k = k / k.sum()
-        return -jnp.convolve(jnp.log(jnp.convolve(p, k, mode="same") + eps),
-                             k, mode="same")
+        return -_parzen(jnp.log(_parzen(p) + eps))
 
     h1 = h_marg(P1)
     h2 = h_marg(P2)
@@ -204,19 +203,20 @@ def _quantize_gray(img, bins):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win_size", "min_disp", "max_disp", "gamma",
-                     "iterations", "bins"))
-def _gsw_mi_step(img1, q1, q2, disp_prev, *, win_size, min_disp, max_disp,
-                 gamma, iterations, bins):
+    static_argnames=("win_size", "min_disp", "max_disp", "bins"))
+def _gsw_mi_step(w, q1, q2, disp_prev, *, win_size, min_disp, max_disp,
+                 bins):
     """One MI refinement: cost table from the previous matching, then
     geodesic-weighted aggregation + WTA (same scaffolding as the SD pass).
+    ``w`` is the precomputed geodesic weight stack — it depends only on
+    the reference image, so the O(win^4) recursion runs once per
+    direction, not once per MI iteration.
     """
     H, W = q1.shape
     pad = win_size // 2
     tot = win_size * win_size
     D = max_disp - min_disp + 1
 
-    w = _gsw_weights(img1, win_size, iterations, gamma)
     table = _mi_cost_table(q1, q2, disp_prev, disp_prev >= 0, bins=bins)
     # Shift to non-negative so zero-padded (out-of-image) window pixels
     # stay neutral, mirroring the SD pass's border semantics.
@@ -275,11 +275,11 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
         disp = jax.random.randint(
             jax.random.PRNGKey(0), (H, W), min_disp, max_disp + 1,
             dtype=jnp.int32)
+        w = _gsw_weights(a, win_size, iterations, float(gamma))
         for _ in range(mi_iterations):
             disp = _gsw_mi_step(
-                a, qa, qb, disp, win_size=win_size, min_disp=min_disp,
-                max_disp=max_disp, gamma=float(gamma),
-                iterations=iterations, bins=bins)
+                w, qa, qb, disp, win_size=win_size, min_disp=min_disp,
+                max_disp=max_disp, bins=bins)
         return disp
 
     dispL = one_direction(img1, img2)

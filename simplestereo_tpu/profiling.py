@@ -30,16 +30,18 @@ import numpy as np
 
 
 @contextlib.contextmanager
-def trace(logdir, host=False):
+def trace(logdir, perfetto=True):
     """Profile the enclosed block with ``jax.profiler.trace``.
 
-    View with TensorBoard (``tensorboard --logdir <logdir>``) or Perfetto.
-    ``host=True`` adds host-side Python tracing (TraceMe annotations).
+    View with TensorBoard (``tensorboard --logdir <logdir>``); with
+    ``perfetto=True`` (default) a standalone Perfetto trace file is also
+    written into ``logdir``. Host-side TraceMe annotations (see
+    :func:`annotate`) are always recorded.
     """
     import jax
 
     with jax.profiler.trace(str(logdir), create_perfetto_link=False,
-                            create_perfetto_trace=not host):
+                            create_perfetto_trace=perfetto):
         yield
 
 
