@@ -127,7 +127,7 @@ def _interp_extrap(xq, xp, fp):
     return out
 
 
-def computeROI(img, blackThreshold=10, whiteThreshold=None,
+def computeROI(img, blackThreshold=10, extraMargin=0, whiteThreshold=None,
                coverage=0.95):
     """Find the illuminated region of interest as (x, y, width, height).
 
@@ -135,7 +135,9 @@ def computeROI(img, blackThreshold=10, whiteThreshold=None,
     self-described as "to rewrite completely"): threshold, keep the
     largest connected bright component, then shrink the bounding box one
     border at a time until every border row/column is at least
-    ``coverage`` inside the component.
+    ``coverage`` inside the component. ``extraMargin`` keeps the
+    reference's final safety shrink (active.py:1689-1692): the returned
+    rectangle is reduced by that many pixels on every side.
     """
     from scipy.ndimage import label
 
@@ -173,4 +175,6 @@ def computeROI(img, blackThreshold=10, whiteThreshold=None,
             x0 += 1
         else:
             x1 -= 1
-    return (int(x0), int(y0), int(x1 - x0), int(y1 - y0))
+    m = int(extraMargin)
+    return (int(x0) + m, int(y0) + m, int(x1 - x0) - 2 * m,
+            int(y1 - y0) - 2 * m)

@@ -132,6 +132,10 @@ def test_compute_roi():
     x, y, w, h = computeROI(img, blackThreshold=50)
     assert abs(x - 20) <= 2 and abs(y - 10) <= 2
     assert abs(w - 50) <= 4 and abs(h - 40) <= 4
+    # extraMargin shrinks each side by that many pixels (reference
+    # active.py:1689-1692)
+    xm, ym, wm, hm = computeROI(img, blackThreshold=50, extraMargin=3)
+    assert (xm, ym, wm, hm) == (x + 3, y + 3, w - 6, h - 6)
 
 
 # --------------------------------------------------------------------------
