@@ -65,6 +65,23 @@ class TestStereoRig:
         assert rig.distCoeffs1.shape == (5,)
         assert np.all(rig.distCoeffs1 == 0)
 
+    def test_undistort_images_arity(self, rng):
+        """changeCameras toggles the 2-/4-tuple return (reference
+        _rigs.py:285-338 quirk)."""
+        K = np.array([[80.0, 0, 32], [0, 80.0, 24], [0, 0, 1]])
+        dist = np.array([0.05, 0, 0, 0, 0])
+        rig = ss.StereoRig((64, 48), (64, 48), K, K, dist, dist,
+                           np.eye(3), [1, 0, 0])
+        img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+        out = rig.undistortImages(img, img)
+        assert len(out) == 2 and out[0].shape == img.shape
+        out4 = rig.undistortImages(img, img, changeCameras=True, alpha=1)
+        assert len(out4) == 4
+        u1, u2, K1new, K2new = out4
+        assert u1.shape == img.shape
+        assert K1new.shape == (3, 3) and np.isfinite(K1new).all()
+        assert K1new[2, 2] == 1 and K1new[0, 1] == 0
+
 
 class TestRectifiedStereoRig:
     def test_fromfile_golden_roundtrip(self, ref_res, tmp_path):
