@@ -34,9 +34,13 @@ workerASWconsistent :108-289, computeASW :293-400) with a TPU-first design:
 - **Tie-break parity**: first-minimum argmin over the ascending disparity
   axis == the reference's reverse-d scan with strict '<' (smallest d wins).
 
-The consistent (left-right checked) variant runs the same kernel twice —
-the right-reference pass is the left pass on x-flipped images — then
-invalidation and occlusion fill are cheap O(H*W) jnp post-passes
+The consistent (left-right checked) variant costs ONE kernel pass, not
+two: the ASW cost is symmetric in the image pair — cost_R(x, d) =
+cost_L(x+d, d), window-validity masks included — so the right-reference
+map the reference computes with a second full scan
+(_passive.cpp:191-253) is an extra per-d lane shift + argmin over the
+cost volume already in VMEM. Invalidation and occlusion fill are cheap
+O(H*W) jnp post-passes
 (see :func:`simplestereo_tpu.passive.asw_ref.occlusion_fill`).
 
 On non-TPU backends the kernel runs in Pallas interpreter mode, which is
@@ -122,7 +126,8 @@ def _roll_const(a, d):
     slices. Mosaic lowers ``pltpu.roll`` to ``tpu.dynamic_rotate`` even
     for constant shifts, which benchmarks ~4x slower than the static
     relayout this form produces; keep ``pltpu.roll`` only for genuinely
-    dynamic shifts."""
+    dynamic shifts. Negative ``d`` rolls left."""
+    d %= a.shape[-1]
     if d == 0:
         return a
     return jnp.concatenate([a[..., -d:], a[..., :-d]], axis=-1)
@@ -141,9 +146,9 @@ def _slab_rows(win_size, tile_h):
     return _round_up(tile_h + 2 * (win_size // 2), 8)
 
 
-def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, tadr, num, den,
-                sem, *, pad, w_acc, w_slab, min_disp, max_disp, gamma_c,
-                win_size, tile_h, step):
+def _asw_kernel(prox_ref, planes_hbm, disp_ref, dispr_ref, slab, tad, tadr,
+                num, den, sem, *, pad, w_acc, w_slab, min_disp, max_disp,
+                gamma_c, win_size, tile_h, step, width):
     """One program = one band of ``tile_h`` output rows.
 
     prox_ref : (win, win) f32 in SMEM — exp(-2*sqrt(di^2+dj^2)/gammaP).
@@ -151,7 +156,9 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, tadr, num, den,
         [0:3] Lab(ref), [3:6] Lab(tgt), [6:9] BGR(ref), [9:12] BGR(tgt);
         Lab planes sentinel-padded, BGR zero-padded. Slab column c maps to
         accumulator lane c - pad; accumulator lane l maps to image column l.
-    disp_ref : (tile_h, w_acc) i32 output block.
+    disp_ref : (tile_h, w_acc) i32 output block — left-reference map.
+    dispr_ref : (tile_h, w_acc) i32 output block — right-reference map,
+        derived from the SAME cost volume (see the symmetry note below).
     """
     D = max_disp - min_disp + 1
     th = tile_h
@@ -258,6 +265,27 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, slab, tad, tadr, num, den,
     cost = jnp.where(lanes >= dcand, cost, jnp.inf)   # x - d >= 0
     disp_ref[...] = jnp.argmin(cost, axis=0).astype(jnp.int32) + min_disp
 
+    # Right-reference map from the SAME volume. The ASW cost is symmetric
+    # in the pair: the weight product w1(x+d)*w2(x) and the truncated SAD
+    # |I1(x+d+off) - I2(x+off)| of the right-reference match (x, d) are
+    # exactly the left-reference terms at column x+d (window-validity
+    # masks included: both reduce to x+dj >= 0 AND x+d+dj <= W-1). Hence
+    # cost_R(x, d) = cost_L(x+d, d) bit-for-bit, and the reference's
+    # second full scan (_passive.cpp:191-253) collapses to a per-d lane
+    # shift of the volume already in VMEM.
+    if D <= _D_UNROLL:
+        costR = jnp.stack(
+            [_roll_const(cost[dd], -(min_disp + dd)) for dd in range(D)])
+    else:
+        num[...] = cost          # reuse scratch: masked cost volume
+        def right_body(dd, _):
+            den[dd] = pltpu.roll(num[dd], w_acc - (min_disp + dd), axis=1)
+            return 0
+        jax.lax.fori_loop(0, D, right_body, 0)
+        costR = den[...]
+    costR = jnp.where(lanes <= (width - 1) - dcand, costR, jnp.inf)
+    dispr_ref[...] = jnp.argmin(costR, axis=0).astype(jnp.int32) + min_disp
+
 
 @functools.partial(
     jax.jit,
@@ -279,18 +307,20 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
         _asw_kernel, pad=pad, w_acc=w_acc, w_slab=w_slab,
         min_disp=min_disp, max_disp=max_disp,
         gamma_c=float(gamma_c), win_size=win_size, tile_h=tile_h,
-        step=step)
+        step=step, width=W)
 
-    disp = pl.pallas_call(
+    out_spec = pl.BlockSpec(
+        (tile_h, w_acc), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    out_struct = jax.ShapeDtypeStruct((n_bands * tile_h, w_acc), jnp.int32)
+    dispL, dispR = pl.pallas_call(
         kernel,
         grid=(n_bands,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (tile_h, w_acc), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_bands * tile_h, w_acc), jnp.int32),
+        out_specs=[out_spec, out_spec],
+        out_shape=[out_struct, out_struct],
         scratch_shapes=[
             pltpu.VMEM((12, _slab_rows(win_size, tile_h), w_slab),
                        jnp.float32),
@@ -311,7 +341,7 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
             transcendentals=H * w_acc * (win_size // step) ** 2 * 3),
         interpret=interpret,
     )(prox2, planes)
-    return disp[:H, :W]
+    return dispL[:H, :W], dispR[:H, :W]
 
 
 def _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
@@ -373,7 +403,11 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
 
     planesL = _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
                             row_valid)
-    dispL = _asw_pass(planesL, H=H, W=W, **kw)
+    # ONE kernel pass yields both matching directions: the right-reference
+    # cost volume is a per-d lane shift of the left one (see the symmetry
+    # note in _asw_kernel), so consistent mode no longer pays a second
+    # full scan.
+    dispL, dispR = _asw_pass(planesL, H=H, W=W, **kw)
     # Empty candidate range (x < min_disp): the reference outputs the pixel's
     # own column index (dBest stays 0 -> disparity x - 0).
     dispL = jnp.where(xs[None, :] < min_disp, xs[None, :], dispL)
@@ -381,12 +415,6 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
     if not consistent:
         return dispL.astype(jnp.int16)
 
-    # Right-reference pass == left pass on x-flipped images with the roles
-    # swapped: (ref, tgt) = (flip(img2), flip(img1)).
-    planesR = _build_planes(img2[:, ::-1], img1[:, ::-1], win_size, w_acc,
-                            w_slab, tile_h, row_valid)
-    dispRf = _asw_pass(planesR, H=H, W=W, **kw)
-    dispR = dispRf[:, ::-1]
     # Empty range on the right pass: dBest stays 0 there too, which in
     # right-image coordinates means matched left column 0, disparity -x.
     xs_f = xs[None, :]
