@@ -279,6 +279,12 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, dispr_ref, slab, tad, tadr,
     else:
         num[...] = cost          # reuse scratch: masked cost volume
         def right_body(dd, _):
+            # Rotate amount must be kept in [0, lanes): NEGATIVE traced
+            # amounts mis-rotate by an extra lane tile (128) on real
+            # hardware when the operand is a dynamically-indexed ref
+            # (interpret mode hides this; probed 2026-08-17). w_acc - d is
+            # the canonical nonnegative left-shift-by-d, and an amount
+            # equal to the lane count (d == 0) rotates correctly.
             den[dd] = pltpu.roll(num[dd], w_acc - (min_disp + dd), axis=1)
             return 0
         jax.lax.fori_loop(0, D, right_body, 0)
