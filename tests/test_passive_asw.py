@@ -22,7 +22,14 @@ def _pair(rng, h=21, w=37, shift=3):
 
 
 @pytest.mark.parametrize("consistent", [False, True])
-@pytest.mark.parametrize("min_disp,max_disp,win", [(1, 6, 7), (0, 4, 5)])
+@pytest.mark.parametrize("min_disp,max_disp,win",
+                         [(1, 6, 7), (0, 4, 5),
+                          # D=18 > _D_UNROLL exercises the fori disparity
+                          # loops, incl. the consistent-mode dynamic roll
+                          # (hardware amount semantics are re-checked by
+                          # benchmarks/probe_dynamic_rotate.py — interpret
+                          # mode cannot see those).
+                          (0, 17, 7)])
 def test_pallas_matches_oracle(rng, consistent, min_disp, max_disp, win):
     img1, img2 = _pair(rng)
     a = np.asarray(asw_disparity_ref(
