@@ -155,6 +155,8 @@ def _ftp_cloud_fused(img_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
              - img_obj[:, :, 2].astype(jnp.float32))
         ptp = jnp.ptp(d)
         gray_obj = (d - jnp.min(d)) / jnp.where(ptp > 0, ptp, 1.0)
+    elif gray_mode == "host":  # subclass-custom convertGrayscale, done on
+        gray_obj = img_obj.astype(jnp.float32)    # the host; already 2-D
     else:                  # per-pixel max keeps the stripe white
         gray_obj = jnp.max(img_obj, axis=2).astype(jnp.float32)
     # nested jitted calls inline into this trace — still one dispatch
@@ -231,6 +233,27 @@ class StereoFTP:
         return jnp.max(img, axis=2).astype(jnp.float32)
 
     # -- internals ---------------------------------------------------------
+
+    def _customGrayscale(self):
+        """Whether a subclass overrides :meth:`convertGrayscale` (the
+        reference's documented customization point, active.py:404-429)
+        without also providing the device twins the fused path uses.
+
+        In that case the pipeline falls back to calling the override on
+        the host so the subclass's grayscale definition is honored
+        (e.g. a user class overriding only ``convertGrayscale`` exactly
+        like the reference's ``StereoFTPAnaglyph`` does).
+        """
+        mro = type(self).__mro__
+
+        def depth(name):
+            for i, c in enumerate(mro):
+                if name in c.__dict__:
+                    return i
+            return len(mro)
+
+        return depth("convertGrayscale") < min(
+            depth("convertGrayscaleDevice"), depth("_GRAY_MODE"))
 
     def _getProjectorMapping(self, z):
         rig = self.stereoRig
@@ -345,6 +368,16 @@ class StereoFTP:
         rigM = (np.asarray(rig.R, np.float64)
                 @ np.linalg.inv(np.asarray(rig.intrinsic1, np.float64)))
 
+        # Subclass with a custom host-side convertGrayscale (the
+        # reference's documented customization point): honor it by
+        # converting on the host and feeding the 2-D gray frame in.
+        if self._customGrayscale():
+            gray_mode = "host"
+            imgObj = jnp.asarray(np.asarray(
+                self.convertGrayscale(np.asarray(imgObj)), np.float32))
+        else:
+            gray_mode = self._GRAY_MODE
+
         if unwrappingMethod is None:
             # whole post-stripe pipeline in one device dispatch
             finalPoints = _ftp_cloud_fused(
@@ -365,7 +398,7 @@ class StereoFTP:
                 jnp.asarray(self.R_inv[:3, :3], jnp.float32),
                 jnp.float32(rig.getBaseline()),
                 res=tuple(rig.res1), roi=tuple(int(v) for v in roi),
-                gray_mode=self._GRAY_MODE)
+                gray_mode=gray_mode)
             return np.asarray(finalPoints, np.float64)
 
         # custom unwrapping callback: staged path with a host round-trip

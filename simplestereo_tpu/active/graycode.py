@@ -71,8 +71,13 @@ class GrayCode:
     rig : StereoRig
         Camera in position 1 (world origin), projector in position 2.
     black_thr : int
-        Minimum white-black difference for a pixel to be considered
-        (applied when black/white images are provided to getCloud).
+        Shadow mask threshold: minimum brightness difference between the
+        fully-illuminated (white) and non-illuminated (black) captures
+        for a pixel to be considered lit by the projector (parity:
+        active.py:1143-1147, the cv2 ``setBlackThreshold`` shadow-mask
+        semantics). Applied when ``black``/``white`` captures are passed
+        to :meth:`decode`/:meth:`getCloud` —
+        :func:`simplestereo_tpu.active.generateGrayCodeImgs` emits both.
     white_thr : int
         Minimum pattern-inverse difference per bit.
     """
@@ -104,8 +109,14 @@ class GrayCode:
         return np.asarray(warp.undistort_image(
             img, self.rig.intrinsic1, self.rig.distCoeffs1))
 
-    def decode(self, images):
+    def decode(self, images, black=None, white=None):
         """Decode captured pattern images to per-pixel projector coords.
+
+        black, white : optional captures of the all-black / all-white
+            projector frames. When both are given, pixels with
+            ``white - black < black_thr`` are rejected as shadowed
+            (unreached by projector light — the reference's
+            ``computeShadowMasks`` semantics, active.py:1143-1147).
 
         Returns (proj_x, proj_y, valid) numpy arrays (H, W).
         """
@@ -117,16 +128,22 @@ class GrayCode:
         px, py, valid = map(np.asarray, (px, py, valid))
         w2, h2 = self.rig.res2
         valid = valid & (px < w2) & (py < h2)
+        if black is not None and white is not None:
+            lit = (self._load(white).astype(np.float32)
+                   - self._load(black).astype(np.float32)) >= self.black_thr
+            valid = valid & lit
         return px, py, valid
 
-    def getCloud(self, images, roi=None):
+    def getCloud(self, images, roi=None, black=None, white=None):
         """Triangulate a scan to 3D points, (n, 1, 3) in camera frame.
 
         ``images``: list of camera captures (paths or arrays) ordered like
         the generated patterns; extra trailing images are ignored.
+        ``black``/``white``: optional shadow-mask captures (see
+        :meth:`decode`).
         """
         widthC, heightC = self.rig.res1
-        px, py, valid = self.decode(images)
+        px, py, valid = self.decode(images, black=black, white=white)
         if roi is not None:
             roi_x, roi_y, roi_w, roi_h = roi
             m = np.zeros_like(valid)
@@ -180,32 +197,46 @@ class GrayCodeDouble:
         R_inv[:3, :3] = np.linalg.inv(commonR)
         self.R_inv = R_inv
 
-    def _decode_cam(self, images, K, dist, res):
+    def _load_one(self, im, K, dist):
         from ..imgio import imread
-        imgs = []
-        for im in images[: self.num_patterns]:
-            if isinstance(im, (str, bytes)):
-                im = imread(im, grayscale=True)
-            im = np.asarray(im)
-            if im.ndim == 3:
-                im = (0.114 * im[..., 0] + 0.587 * im[..., 1]
-                      + 0.299 * im[..., 2])
-            imgs.append(np.asarray(warp.undistort_image(im, K, dist)))
+        if isinstance(im, (str, bytes)):
+            im = imread(im, grayscale=True)
+        im = np.asarray(im)
+        if im.ndim == 3:
+            im = (0.114 * im[..., 0] + 0.587 * im[..., 1]
+                  + 0.299 * im[..., 2])
+        return np.asarray(warp.undistort_image(im, K, dist))
+
+    def _decode_cam(self, images, K, dist, res, black=None, white=None):
+        imgs = [self._load_one(im, K, dist)
+                for im in images[: self.num_patterns]]
         px, py, valid = decode_graycode(
             jnp.asarray(np.stack(imgs)), nx=self.nx, ny=self.ny,
             white_thr=self.white_thr)
         px, py, valid = map(np.asarray, (px, py, valid))
         valid = valid & (px < self.projRes[0]) & (py < self.projRes[1])
+        if black is not None and white is not None:
+            lit = (self._load_one(white, K, dist).astype(np.float32)
+                   - self._load_one(black, K, dist).astype(np.float32)
+                   ) >= self.black_thr
+            valid = valid & lit
         return px, py, valid
 
-    def getCloud(self, images1, images2, roi=None):
-        """Triangulate; images1/images2 are the two cameras' captures."""
+    def getCloud(self, images1, images2, roi=None, black1=None, white1=None,
+                 black2=None, white2=None):
+        """Triangulate; images1/images2 are the two cameras' captures.
+
+        ``black1``/``white1`` (and ``black2``/``white2``): optional
+        per-camera all-black / all-white captures for shadow-mask
+        rejection (pixels with white-black < black_thr are not lit by the
+        projector and are excluded; parity: active.py:1143-1147).
+        """
         px1, py1, v1 = self._decode_cam(
             images1, self.rig.intrinsic1, self.rig.distCoeffs1,
-            self.rig.res1)
+            self.rig.res1, black=black1, white=white1)
         px2, py2, v2 = self._decode_cam(
             images2, self.rig.intrinsic2, self.rig.distCoeffs2,
-            self.rig.res2)
+            self.rig.res2, black=black2, white=white2)
 
         projW, projH = self.projRes
         # Correspondence volume: mean camera pixel per projector pixel.

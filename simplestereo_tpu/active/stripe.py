@@ -175,6 +175,10 @@ def computeROI(img, blackThreshold=10, extraMargin=0, whiteThreshold=None,
             x0 += 1
         else:
             x1 -= 1
-    m = int(extraMargin)
+    # Clamp the safety margin so the returned rectangle never collapses
+    # to non-positive width/height (a margin >= half the detected box
+    # would otherwise produce an empty crop downstream).
+    m = max(0, int(extraMargin))
+    m = min(m, (int(x1 - x0) - 1) // 2, (int(y1 - y0) - 1) // 2)
     return (int(x0) + m, int(y0) + m, int(x1 - x0) - 2 * m,
             int(y1 - y0) - 2 * m)

@@ -18,7 +18,7 @@ import numpy as np
 
 from .lab import bgr_to_lab
 from .asw_ref import asw_disparity_ref, occlusion_fill
-from .asw_pallas import asw_disparity
+from .asw_pallas import asw_disparity, asw_disparity_batch
 from .sgm import StereoSGM, StereoSGBM_create, filter_speckles
 from .gsw import StereoGSW, gsw_disparity
 
@@ -88,12 +88,13 @@ class StereoASW:
     def computeBatch(self, imgs1, imgs2):
         """Batched :meth:`compute` over leading-axis frame stacks.
 
-        (B, H, W, 3) pairs -> (B, H, W) int16 disparity. Frames are
-        dispatched sequentially (a single TensorCore serializes the
-        kernel anyway, and both vmap and lax.map around the HBM-resident
-        Pallas operand lower poorly on TPU — measured 100x slower);
-        one compile is shared across the batch. For multi-chip batches
-        shard frames with
+        (B, H, W, 3) pairs -> (B, H, W) int16 disparity. The whole stack
+        is ONE kernel launch: the frame axis rides a leading Pallas grid
+        dimension (:func:`asw_disparity_batch`), amortizing the ~20 ms
+        per-dispatch tunnel latency over the batch. (vmap and lax.map
+        around the HBM-resident Pallas operand lower poorly or not at all
+        on real TPU — the grid axis is the TPU-native batching form.)
+        For multi-chip batches shard frames with
         :func:`simplestereo_tpu.parallel.batch_parallel`.
         Bit-identical to per-frame :meth:`compute`.
         """
@@ -103,13 +104,18 @@ class StereoASW:
                 or imgs1.shape != imgs2.shape:
             raise ValueError(
                 "Batches must be (B, H, W, 3) BGR with identical shapes!")
-        return np.stack([self.compute(a, b)
-                         for a, b in zip(imgs1, imgs2)])
+        out = asw_disparity_batch(
+            imgs1, imgs2, win_size=self.winSize,
+            max_disp=self.maxDisparity, min_disp=self.minDisparity,
+            gamma_c=float(self.gammaC), gamma_p=float(self.gammaP),
+            consistent=self.consistent, step=self.step)
+        return np.asarray(out)
 
 
 __all__ = [
     "bgr_to_lab",
     "asw_disparity",
+    "asw_disparity_batch",
     "asw_disparity_ref",
     "occlusion_fill",
     "StereoASW",

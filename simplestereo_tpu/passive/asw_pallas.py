@@ -146,9 +146,9 @@ def _slab_rows(win_size, tile_h):
     return _round_up(tile_h + 2 * (win_size // 2), 8)
 
 
-def _asw_kernel(prox_ref, planes_hbm, disp_ref, dispr_ref, slab, tad, tadr,
-                num, den, sem, *, pad, w_acc, w_slab, min_disp, max_disp,
-                gamma_c, win_size, tile_h, step, width):
+def _asw_kernel(prox_ref, planes_hbm, *refs, pad, w_acc, w_slab, min_disp,
+                max_disp, gamma_c, win_size, tile_h, step, width,
+                consistent, batched):
     """One program = one band of ``tile_h`` output rows.
 
     prox_ref : (win, win) f32 in SMEM — exp(-2*sqrt(di^2+dj^2)/gammaP).
@@ -156,17 +156,33 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, dispr_ref, slab, tad, tadr,
         [0:3] Lab(ref), [3:6] Lab(tgt), [6:9] BGR(ref), [9:12] BGR(tgt);
         Lab planes sentinel-padded, BGR zero-padded. Slab column c maps to
         accumulator lane c - pad; accumulator lane l maps to image column l.
-    disp_ref : (tile_h, w_acc) i32 output block — left-reference map.
+        When ``batched`` the array carries a leading frame axis
+        (B, 12, Hp, w_slab) and the grid is (B, n_bands): frame data
+        parallelism lives IN the kernel grid, never as a vmap around the
+        pallas_call (which fails to lower on real TPU — the ANY-memspace
+        operand cannot take a squeezed batch dim).
+    disp_ref : (tile_h, w_acc) i32 output block — left-reference map
+        ((1, tile_h, w_acc) when batched).
     dispr_ref : (tile_h, w_acc) i32 output block — right-reference map,
-        derived from the SAME cost volume (see the symmetry note below).
+        derived from the SAME cost volume (see the symmetry note below);
+        only present when ``consistent`` (the non-consistent path skips
+        the whole costR tail).
     """
+    if consistent:
+        disp_ref, dispr_ref, slab, tad, tadr, num, den, sem = refs
+    else:
+        disp_ref, slab, tad, tadr, num, den, sem = refs
+        dispr_ref = None
     D = max_disp - min_disp + 1
     th = tile_h
-    b = pl.program_id(0)
+    b = pl.program_id(1) if batched else pl.program_id(0)
+    if batched:
+        src = planes_hbm.at[pl.program_id(0), :,
+                            pl.ds(b * th, _slab_rows(win_size, th)), :]
+    else:
+        src = planes_hbm.at[:, pl.ds(b * th, _slab_rows(win_size, th)), :]
 
-    cp = pltpu.make_async_copy(
-        planes_hbm.at[:, pl.ds(b * th, _slab_rows(win_size, th)), :],
-        slab, sem)
+    cp = pltpu.make_async_copy(src, slab, sem)
     cp.start()
     cp.wait()
 
@@ -262,8 +278,14 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, dispr_ref, slab, tad, tadr,
     cost = num[...] / den[...]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (D, th, w_acc), 2)
     dcand = jax.lax.broadcasted_iota(jnp.int32, (D, th, w_acc), 0) + min_disp
+    def store(ref, val):
+        ref[...] = val[None] if batched else val  # batched block: (1, th, w)
+
     cost = jnp.where(lanes >= dcand, cost, jnp.inf)   # x - d >= 0
-    disp_ref[...] = jnp.argmin(cost, axis=0).astype(jnp.int32) + min_disp
+    store(disp_ref, jnp.argmin(cost, axis=0).astype(jnp.int32) + min_disp)
+
+    if not consistent:
+        return  # non-consistent path: no right-reference map needed
 
     # Right-reference map from the SAME volume. The ASW cost is symmetric
     # in the pair: the weight product w1(x+d)*w2(x) and the truncated SAD
@@ -279,27 +301,40 @@ def _asw_kernel(prox_ref, planes_hbm, disp_ref, dispr_ref, slab, tad, tadr,
     else:
         num[...] = cost          # reuse scratch: masked cost volume
         def right_body(dd, _):
-            # Rotate amount must be kept in [0, lanes): NEGATIVE traced
+            # Rotate amount must be kept in [0, lanes]: NEGATIVE traced
             # amounts mis-rotate by an extra lane tile (128) on real
             # hardware when the operand is a dynamically-indexed ref
             # (interpret mode hides this; probed 2026-08-17). w_acc - d is
-            # the canonical nonnegative left-shift-by-d, and an amount
-            # equal to the lane count (d == 0) rotates correctly.
-            den[dd] = pltpu.roll(num[dd], w_acc - (min_disp + dd), axis=1)
+            # the canonical nonnegative left-shift-by-d; lax.rem keeps it
+            # in range when min_disp < 0 would push it above w_acc (an
+            # amount equal to the lane count rotates correctly, and so
+            # does rem's 0).
+            amt = jax.lax.rem(w_acc - (min_disp + dd), w_acc)
+            den[dd] = pltpu.roll(num[dd], amt, axis=1)
             return 0
         jax.lax.fori_loop(0, D, right_body, 0)
         costR = den[...]
     costR = jnp.where(lanes <= (width - 1) - dcand, costR, jnp.inf)
-    dispr_ref[...] = jnp.argmin(costR, axis=0).astype(jnp.int32) + min_disp
+    store(dispr_ref, jnp.argmin(costR, axis=0).astype(jnp.int32) + min_disp)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "win_size", "min_disp", "max_disp",
-                     "gamma_c", "gamma_p", "interpret", "tile_h", "step"))
+                     "gamma_c", "gamma_p", "interpret", "tile_h", "step",
+                     "consistent"))
 def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
-              interpret, tile_h, step=1):
-    """Left-reference matching pass. planes: (12, Hp, w_slab) f32 padded."""
+              interpret, tile_h, step=1, consistent=True):
+    """Left-reference matching pass. planes: (12, Hp, w_slab) f32 padded,
+    or (B, 12, Hp, w_slab) for a frame batch — the batch rides a leading
+    grid axis inside the SAME kernel (one launch for the whole batch; no
+    vmap around the pallas_call, which cannot lower on real TPU).
+
+    Returns (dispL, dispR) when ``consistent``, else (dispL, None): the
+    right-reference tail (per-d lane rolls + a second argmin) is skipped
+    entirely on the non-consistent path where it would be discarded.
+    """
+    batched = planes.ndim == 4
     pad = win_size // 2
     D = max_disp - min_disp + 1
     w_acc, w_slab = _layout(W, win_size)
@@ -313,20 +348,34 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
         _asw_kernel, pad=pad, w_acc=w_acc, w_slab=w_slab,
         min_disp=min_disp, max_disp=max_disp,
         gamma_c=float(gamma_c), win_size=win_size, tile_h=tile_h,
-        step=step, width=W)
+        step=step, width=W, consistent=consistent, batched=batched)
 
-    out_spec = pl.BlockSpec(
-        (tile_h, w_acc), lambda b: (b, 0), memory_space=pltpu.VMEM)
-    out_struct = jax.ShapeDtypeStruct((n_bands * tile_h, w_acc), jnp.int32)
-    dispL, dispR = pl.pallas_call(
+    if batched:
+        B = planes.shape[0]
+        grid = (B, n_bands)
+        out_spec = pl.BlockSpec(
+            (1, tile_h, w_acc), lambda bi, b: (bi, b, 0),
+            memory_space=pltpu.VMEM)
+        out_struct = jax.ShapeDtypeStruct(
+            (B, n_bands * tile_h, w_acc), jnp.int32)
+        frames = B
+    else:
+        grid = (n_bands,)
+        out_spec = pl.BlockSpec(
+            (tile_h, w_acc), lambda b: (b, 0), memory_space=pltpu.VMEM)
+        out_struct = jax.ShapeDtypeStruct(
+            (n_bands * tile_h, w_acc), jnp.int32)
+        frames = 1
+    n_out = 2 if consistent else 1
+    out = pl.pallas_call(
         kernel,
-        grid=(n_bands,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[out_spec, out_spec],
-        out_shape=[out_struct, out_struct],
+        out_specs=[out_spec] * n_out,
+        out_shape=[out_struct] * n_out,
         scratch_shapes=[
             pltpu.VMEM((12, _slab_rows(win_size, tile_h), w_slab),
                        jnp.float32),
@@ -342,12 +391,15 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=H * w_acc * (win_size // step) ** 2 * (20 + 4 * D),
+            flops=frames * H * w_acc * (win_size // step) ** 2 * (20 + 4 * D),
             bytes_accessed=planes.size * 4,
-            transcendentals=H * w_acc * (win_size // step) ** 2 * 3),
+            transcendentals=frames * H * w_acc
+            * (win_size // step) ** 2 * 3),
         interpret=interpret,
     )(prox2, planes)
-    return dispL[:H, :W], dispR[:H, :W]
+    if consistent:
+        return out[0][..., :H, :W], out[1][..., :H, :W]
+    return out[0][..., :H, :W], None
 
 
 def _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
@@ -388,6 +440,33 @@ def _auto_interpret():
     return jax.default_backend() != "tpu"
 
 
+def _finish(dispL, dispR, *, W, min_disp, consistent):
+    """Post-kernel passes on one frame: empty-range semantics, LR check
+    (_passive.cpp:191-253) and occlusion fill (_passive.cpp:258-285).
+    Pure jnp — safe to vmap over a frame batch."""
+    H = dispL.shape[0]
+    xs = jnp.arange(W)
+    # Empty candidate range (x < min_disp): the reference outputs the pixel's
+    # own column index (dBest stays 0 -> disparity x - 0).
+    dispL = jnp.where(xs[None, :] < min_disp, xs[None, :], dispL)
+
+    if not consistent:
+        return dispL.astype(jnp.int16)
+
+    # Empty range on the right pass: dBest stays 0 there too, which in
+    # right-image coordinates means matched left column 0, disparity -x.
+    xs_f = xs[None, :]
+    dispR = jnp.where((W - 1 - xs_f) < min_disp, -xs_f, dispR)
+
+    # Invalidate left pixels whose right-pass match disagrees, then fill.
+    L = jnp.clip(xs_f + dispR, 0, W - 1)
+    agree = jnp.take_along_axis(dispL, L, axis=1) == dispR
+    disagree = jnp.zeros((H, W), bool)
+    disagree = jax.vmap(lambda f, l, a: f.at[l].max(~a))(disagree, L, agree)
+    dispI = jnp.where(disagree, -1, dispL)
+    return occlusion_fill(dispI).astype(jnp.int16)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("win_size", "max_disp", "min_disp", "gamma_c",
@@ -401,11 +480,10 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
     H, W = img1.shape[:2]
     w_acc, w_slab = _layout(W, win_size)
     tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1)
-    xs = jnp.arange(W)
 
     kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
               gamma_c=gamma_c, gamma_p=gamma_p, interpret=interpret,
-              tile_h=tile_h, step=step)
+              tile_h=tile_h, step=step, consistent=consistent)
 
     planesL = _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
                             row_valid)
@@ -414,26 +492,45 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
     # note in _asw_kernel), so consistent mode no longer pays a second
     # full scan.
     dispL, dispR = _asw_pass(planesL, H=H, W=W, **kw)
-    # Empty candidate range (x < min_disp): the reference outputs the pixel's
-    # own column index (dBest stays 0 -> disparity x - 0).
-    dispL = jnp.where(xs[None, :] < min_disp, xs[None, :], dispL)
+    return _finish(dispL, dispR, W=W, min_disp=min_disp,
+                   consistent=consistent)
 
-    if not consistent:
-        return dispL.astype(jnp.int16)
 
-    # Empty range on the right pass: dBest stays 0 there too, which in
-    # right-image coordinates means matched left column 0, disparity -x.
-    xs_f = xs[None, :]
-    dispR = jnp.where((W - 1 - xs_f) < min_disp, -xs_f, dispR)
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_size", "max_disp", "min_disp", "gamma_c",
+                     "gamma_p", "consistent", "interpret", "step"))
+def _asw_disparity_batch_jit(imgs1, imgs2, row_valid, *, win_size, max_disp,
+                             min_disp, gamma_c, gamma_p, consistent,
+                             interpret, step):
+    """Batched pipeline: ONE kernel launch for the whole frame stack.
 
-    # Invalidate left pixels whose right-pass match disagrees
-    # (_passive.cpp:191-253), then fill -1 runs (_passive.cpp:258-285).
-    L = jnp.clip(xs_f + dispR, 0, W - 1)
-    agree = jnp.take_along_axis(dispL, L, axis=1) == dispR
-    disagree = jnp.zeros((H, W), bool)
-    disagree = jax.vmap(lambda f, l, a: f.at[l].max(~a))(disagree, L, agree)
-    dispI = jnp.where(disagree, -1, dispL)
-    return occlusion_fill(dispI).astype(jnp.int16)
+    Plane prep and the post passes are pure jnp and vmap cleanly; only the
+    pallas_call must not be vmapped (ANY-memspace operands cannot take a
+    squeezed batch dim on real TPU), so the batch is folded into the
+    kernel grid instead (see ``_asw_pass``)."""
+    B, H, W = imgs1.shape[:3]
+    w_acc, w_slab = _layout(W, win_size)
+    tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1)
+
+    kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
+              gamma_c=gamma_c, gamma_p=gamma_p, interpret=interpret,
+              tile_h=tile_h, step=step, consistent=consistent)
+
+    def build(a, b, rv):
+        return _build_planes(a, b, win_size, w_acc, w_slab, tile_h, rv)
+
+    if row_valid is None:
+        planes = jax.vmap(lambda a, b: build(a, b, None))(imgs1, imgs2)
+    else:
+        planes = jax.vmap(build)(imgs1, imgs2, row_valid)
+
+    dispL, dispR = _asw_pass(planes, H=H, W=W, **kw)
+    post = functools.partial(_finish, W=W, min_disp=min_disp,
+                             consistent=consistent)
+    if consistent:
+        return jax.vmap(post)(dispL, dispR)
+    return jax.vmap(lambda l: post(l, None))(dispL)
 
 
 def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
@@ -456,6 +553,31 @@ def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
         interpret = _auto_interpret()
     return _asw_disparity_jit(
         jnp.asarray(img1), jnp.asarray(img2), row_valid,
+        win_size=win_size, max_disp=max_disp, min_disp=min_disp,
+        gamma_c=float(gamma_c), gamma_p=float(gamma_p),
+        consistent=bool(consistent), interpret=bool(interpret),
+        step=int(step))
+
+
+def asw_disparity_batch(imgs1, imgs2, win_size=35, max_disp=16, min_disp=0,
+                        gamma_c=5.0, gamma_p=17.5, consistent=False,
+                        interpret=None, row_valid=None, step=1):
+    """Batched :func:`asw_disparity`: (B, H, W, 3) pairs -> (B, H, W) i16.
+
+    The whole stack runs as ONE kernel launch — the frame axis is a
+    leading Pallas grid dimension, so per-call dispatch latency (~20 ms
+    through the TPU tunnel) is paid once per batch instead of once per
+    frame, and the program shape contains no vmap around the pallas_call
+    (the form that fails to lower on real TPU). Bit-identical to
+    per-frame :func:`asw_disparity`.
+
+    row_valid : optional (B, H) bool — per-frame row validity (used by the
+        sharded row-tiling path in :mod:`simplestereo_tpu.parallel`).
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    return _asw_disparity_batch_jit(
+        jnp.asarray(imgs1), jnp.asarray(imgs2), row_valid,
         win_size=win_size, max_disp=max_disp, min_disp=min_disp,
         gamma_c=float(gamma_c), gamma_p=float(gamma_p),
         consistent=bool(consistent), interpret=bool(interpret),

@@ -107,30 +107,59 @@ class Capture:
     """Threaded continuous frame grabber with pluggable sources.
 
     TPU-free host-side acquisition, mirroring the reference's ``Capture``
-    (utils.py:13-181) which wraps ``cv2.VideoCapture``: a background thread
-    continuously grabs the newest frame so ``get()`` never returns a stale
-    buffered one. Since this framework does not depend on OpenCV, the source
-    is either:
+    (utils.py:13-181) which wraps ``cv2.VideoCapture``: a background
+    thread continuously grabs the newest frame so ``get()`` never returns
+    a stale buffered one. Sources, in place of OpenCV's backends:
 
-    - a callable returning the next frame as a numpy array (camera driver,
-      network stream, ...), or
-    - a list/iterable of image file paths (decoded with Pillow), or
-    - a directory path (all images inside, sorted).
+    - an ``int`` camera index or a ``/dev/video*`` path — live camera via
+      the built-in V4L2 driver (:class:`simplestereo_tpu.v4l2.V4L2Source`;
+      raises ``ValueError`` if the device cannot be opened, like the
+      reference);
+    - a **driver object** implementing the source protocol below (how
+      network-stream or vendor-SDK cameras plug in);
+    - a callable returning the next frame as a numpy BGR array;
+    - a list/iterable of image file paths (decoded with Pillow), or a
+      directory path (all images inside, sorted) — the video-file analog
+      (control methods return False for these, reference utils.py:131-136).
+
+    Driver/source protocol: ``read() -> frame | None`` (required);
+    optional ``release()``, ``get_resolution() -> (w, h)``,
+    ``set_resolution(w, h) -> bool``, ``set_frame_rate(fps) -> bool``.
+
+    Parameters
+    ----------
+    source : int, str, callable, object or list
+        See above.
+    flipY : bool
+        Flip output frames around the y-axis (reference utils.py:42-47).
+    loop : bool
+        Restart file sequences when exhausted. Default True.
 
     Use as a context manager, or call :meth:`start` / :meth:`stop`.
     """
 
-    def __init__(self, source, loop=True):
+    def __init__(self, source, flipY=False, loop=True):
         self._frame = None
         self._lock = threading.Lock()
         self._running = False
         self._thread = None
         self.loop = loop
+        self.flipY = flipY
+        self._source = None       # driver object, when one is in play
+        self.isFile = False       # file-sequence mode (reference parity)
 
-        if callable(source):
+        import os
+        if isinstance(source, int) or (
+                isinstance(source, str) and source.startswith("/dev/video")):
+            from .v4l2 import V4L2Source
+            self._source = V4L2Source(source)
+            self._next = self._source.read
+        elif hasattr(source, "read") and not isinstance(source, (str, bytes)):
+            self._source = source
+            self._next = source.read
+        elif callable(source):
             self._next = source
         else:
-            import os
             if isinstance(source, (str, bytes)) and os.path.isdir(source):
                 exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
                 files = sorted(
@@ -138,8 +167,17 @@ class Capture:
                     for f in os.listdir(source)
                     if f.lower().endswith(exts)
                 )
+            elif isinstance(source, (str, bytes)) and os.path.isfile(source):
+                files = [source]
+            elif isinstance(source, (str, bytes)):
+                raise ValueError(
+                    f"Cannot open device! ({source!r} is not a camera "
+                    "index, /dev/video* path, directory or file list; for "
+                    "network streams pass a driver object implementing "
+                    "the Capture source protocol)")
             else:
                 files = list(source)
+            self.isFile = True
             self._files = files
             self._idx = 0
 
@@ -164,6 +202,8 @@ class Capture:
 
     def __exit__(self, *exc):
         self.stop()
+        if self._source is not None and hasattr(self._source, "release"):
+            self._source.release()
 
     def start(self):
         if self._running:
@@ -184,11 +224,40 @@ class Capture:
     def get(self):
         """Latest grabbed frame (or None if nothing arrived yet)."""
         with self._lock:
-            return None if self._frame is None else self._frame.copy()
+            frame = None if self._frame is None else self._frame.copy()
+        if frame is not None and self.flipY:
+            frame = np.ascontiguousarray(frame[:, ::-1])
+        return frame
 
     def getResolution(self):
+        """Current (width, height) — from the driver when available."""
+        if self._source is not None and hasattr(self._source,
+                                                "get_resolution"):
+            return tuple(self._source.get_resolution())
         f = self.get()
         return None if f is None else (f.shape[1], f.shape[0])
+
+    def setResolution(self, width, height):
+        """Set camera resolution. Reference semantics (utils.py:118-150):
+        returns False while the grab thread runs, for file sources, and
+        for drivers that cannot honor the request; True only when the
+        driver confirms the exact resolution."""
+        if self._running or self.isFile:
+            return False
+        if self._source is not None and hasattr(self._source,
+                                                "set_resolution"):
+            return bool(self._source.set_resolution(width, height))
+        return False
+
+    def setFrameRate(self, fps):
+        """Set camera frame rate (reference utils.py:165-181 semantics:
+        False while running / for files / unsupported)."""
+        if self._running or self.isFile:
+            return False
+        if self._source is not None and hasattr(self._source,
+                                                "set_frame_rate"):
+            return bool(self._source.set_frame_rate(fps))
+        return False
 
     def stop(self):
         self._running = False

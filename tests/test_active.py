@@ -136,6 +136,13 @@ def test_compute_roi():
     # active.py:1689-1692)
     xm, ym, wm, hm = computeROI(img, blackThreshold=50, extraMargin=3)
     assert (xm, ym, wm, hm) == (x + 3, y + 3, w - 6, h - 6)
+    # an absurd margin is clamped so the rectangle stays non-empty
+    xg, yg, wg, hg = computeROI(img, blackThreshold=50, extraMargin=1000)
+    assert wg > 0 and hg > 0
+    assert xg >= x and yg >= y and xg + wg <= x + w and yg + hg <= y + h
+    # negative margins do not silently expand the box
+    assert computeROI(img, blackThreshold=50, extraMargin=-5) == \
+        (x, y, w, h)
 
 
 # --------------------------------------------------------------------------
@@ -262,6 +269,50 @@ def test_ftp_anaglyph_recovers_plane():
     assert abs(np.median(center) - z0) < 0.03 * z0
 
 
+def test_ftp_subclass_overriding_only_convertGrayscale():
+    """The reference documents convertGrayscale as the customization
+    point (its StereoFTPAnaglyph overrides exactly that). A downstream
+    subclass overriding ONLY the host convertGrayscale must get its
+    grayscale definition honored by the fused pipeline too."""
+    from simplestereo_tpu.active import StereoFTPAnaglyph
+    from simplestereo_tpu.active.ftp import StereoFTP
+    from simplestereo_tpu import warp
+    import jax.numpy as jnp
+
+    class UserAnaglyph(StereoFTP):
+        # same math as StereoFTPAnaglyph.convertGrayscale, but declared
+        # the way the reference's docs suggest: host-side only
+        @staticmethod
+        def convertGrayscale(img):
+            img = np.asarray(img)
+            if img.ndim == 2:
+                return img.astype(np.float64)
+            d = (img[:, :, 0].astype(np.float64)
+                 - img[:, :, 2].astype(np.float64))
+            ptp = np.ptp(d)
+            return (d - d.min()) / (ptp if ptp > 0 else 1.0)
+
+    rig = _make_rig()
+    period = 16.0
+    fringe = buildAnaglyphFringe(period, dims=PROJ_RES)
+    z0 = 520.0
+    mapu, mapv, _ = _proj_coords_for_plane(rig, z0)
+    cam_img = np.asarray(warp.remap(
+        jnp.asarray(fringe), jnp.asarray(mapu, jnp.float32),
+        jnp.asarray(mapv, jnp.float32), interpolation="linear"))
+
+    builtin = StereoFTPAnaglyph(rig, fringe, period, stripeColor="green")
+    user = UserAnaglyph(rig, fringe, period, stripeColor="green")
+    assert user._customGrayscale() and not builtin._customGrayscale()
+    c_builtin = builtin.getCloud(cam_img)
+    c_user = user.getCloud(cam_img)
+    s = np.s_[20:-20, 20:-20, 2]
+    a, b = c_builtin[s], c_user[s]
+    ok = np.isfinite(a) & np.isfinite(b)
+    assert ok.mean() > 0.9
+    np.testing.assert_allclose(a[ok], b[ok], rtol=1e-3)
+
+
 def test_ftp_mapping_variant(ftp_scene):
     from simplestereo_tpu.active import StereoFTP_Mapping
     ftp = StereoFTP_Mapping(ftp_scene["rig"], ftp_scene["fringe"],
@@ -302,3 +353,49 @@ def test_ftp_custom_unwrapping_method(ftp_scene):
     ok = np.isfinite(a) & np.isfinite(b)
     assert ok.mean() > 0.9
     np.testing.assert_allclose(a[ok], b[ok], rtol=5e-3)
+
+
+def test_graycode_shadow_masking():
+    """black_thr semantics (reference active.py:1143-1147): pixels whose
+    white-black difference is under the threshold are shadowed (not
+    reached by projector light) and must be rejected even when pattern
+    noise passes the per-bit white threshold."""
+    rig = _make_rig()
+    z0 = 500.0
+    mapu, mapv, _ = _proj_coords_for_plane(rig, z0)
+    pats, nx, ny = graycode_patterns(PROJ_RES)
+    rng = np.random.default_rng(3)
+    W, H = CAM_RES
+    sx = slice(30, 50)  # shadowed columns (ambient noise, no projector)
+    captures = []
+    for p in pats:
+        c = _capture(p, mapu, mapv)
+        # ambient flicker in the shadow: exceeds white_thr randomly so
+        # the per-bit check alone cannot reject it
+        c[:, sx] = rng.integers(0, 120, (H, 20), np.uint8)
+        captures.append(c)
+    white = _capture(np.full(PROJ_RES[::-1], 255, np.uint8), mapu, mapv)
+    black = _capture(np.zeros(PROJ_RES[::-1], np.uint8), mapu, mapv)
+    white[:, sx] = 60   # ambient level only, no projector light
+    black[:, sx] = 55
+
+    gc = GrayCode(rig, black_thr=40, white_thr=5)
+    _, _, v_nomask = gc.decode(captures)
+    _, _, v_mask = gc.decode(captures, black=black, white=white)
+    # noise leaks through the per-bit threshold somewhere in the shadow
+    assert v_nomask[:, sx].any()
+    # the shadow mask rejects the whole region and keeps the lit part
+    assert not v_mask[:, sx].any()
+    outside = np.ones_like(v_mask)
+    outside[:, sx] = False
+    assert (v_mask & outside).sum() >= 0.9 * (v_nomask & outside).sum()
+
+    # getCloud plumbs the masks through: no 3D points from shadow pixels
+    pts = gc.getCloud(captures, black=black, white=white)
+    assert len(pts) > 0
+    # reproject: all returned points must come from lit camera columns
+    K1 = np.asarray(rig.intrinsic1, float)
+    p = pts.reshape(-1, 3) @ K1.T
+    xs = p[:, 0] / p[:, 2]
+    # depth quantization shifts reprojected columns by ~1 px
+    assert ((xs < 29.0) | (xs > 50.0)).mean() > 0.98

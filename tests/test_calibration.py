@@ -73,9 +73,28 @@ def test_stereo_calibration_recovers(synth):
     assert rms < 0.12
     assert np.abs(R - Rrel).max() < 2e-3
     assert np.abs(T.ravel() - Trel).max() < 0.5
-    # epipolar constraint on noise-free correspondences
-    x1 = np.array([640., 360, 1.0])
     assert pve.shape == (len(synth["imgs"]), 2)
+    # E must equal [T]x R (up to scale) for the returned extrinsics
+    t = np.asarray(T, np.float64).ravel()
+    Tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E_expected = Tx @ R
+    En = E / np.linalg.norm(E)
+    Ee = E_expected / np.linalg.norm(E_expected)
+    assert min(np.abs(En - Ee).max(), np.abs(En + Ee).max()) < 1e-9
+    # epipolar constraint x2^T F x1 = 0 on noise-free (ideal pinhole)
+    # correspondences generated from the returned K1, K2, R, T
+    rng2 = np.random.default_rng(7)
+    X = np.stack([rng2.uniform(-200, 200, 64), rng2.uniform(-150, 150, 64),
+                  rng2.uniform(400, 900, 64)], axis=1)
+    x1h = (K1e @ X.T).T
+    x1h /= x1h[:, 2:]
+    x2h = (K2e @ (X @ R.T + T.ravel()).T).T
+    x2h /= x2h[:, 2:]
+    resid = np.abs(np.einsum("ni,ij,nj->n", x2h, F, x1h))
+    # normalize by the epipolar line magnitude for a pixel-scale residual
+    lines = x1h @ F.T
+    resid /= np.linalg.norm(lines[:, :2], axis=1)
+    assert resid.max() < 1e-6
 
 
 def test_distortion_flag_counts():
@@ -206,7 +225,11 @@ def test_chessboard_detection_other_suites(ref_res):
     for suite in ("1/calib", "new"):
         files = sorted(glob.glob(str(ref_res / suite / "*_L.png")))[:8]
         assert files, suite
-        found = sum(
-            find_chessboard_corners(imread(f, grayscale=True), (7, 6))
-            is not None for f in files)
+        found = 0
+        for f in files:
+            ok, corners = find_chessboard_corners(
+                imread(f, grayscale=True), (7, 6))
+            if ok:
+                assert corners.shape == (42, 2)
+                found += 1
         assert found == len(files), f"{suite}: {found}/{len(files)}"

@@ -53,3 +53,19 @@ def test_psum_stats(mesh8):
     x = np.arange(16, dtype=np.float32).reshape(8, 2)
     s, c = np.asarray(parallel.psum_stats(x, mesh8, ("rows", "batch")))
     assert s == x.sum() and c == x.size
+
+
+@pytest.mark.parametrize("consistent", [False, True])
+def test_tiled_batch_matches_single_device(rng, mesh8, consistent):
+    """Frame-DP x row-tiling over the 2-D mesh (the dryrun_multichip
+    program shape: batched Pallas grid, halo ppermute, no vmap around the
+    kernel) matches per-frame single-device output."""
+    img1 = rng.integers(0, 256, (4, 16, 40, 3), np.uint8)
+    img2 = np.roll(img1, -2, axis=2)
+    kw = dict(win_size=5, max_disp=4, min_disp=0, consistent=consistent)
+    tiled = np.asarray(parallel.tiled_asw_disparity_batch(
+        img1, img2, mesh8, row_axis="rows", batch_axis="batch", **kw))
+    for i in range(4):
+        single = np.asarray(asw_disparity(img1[i], img2[i], **kw))
+        mismatch = (single != tiled[i]).mean()
+        assert mismatch <= 0.005, f"frame {i} mismatch {mismatch:.2%}"

@@ -226,3 +226,84 @@ def test_compute_batch_matches_single(rng):
         np.testing.assert_array_equal(batch[i], m.compute(imgs1[i], imgs2[i]))
     with pytest.raises(ValueError):
         m.computeBatch(imgs1[0], imgs2[0])
+
+
+@pytest.mark.parametrize("consistent", [False, True])
+def test_batched_grid_matches_single(rng, consistent):
+    """asw_disparity_batch folds the frame axis into the Pallas grid —
+    must be bit-identical to per-frame asw_disparity, on both the
+    unrolled (D<=16) and fori (D>16) kernel paths."""
+    from simplestereo_tpu.passive import asw_disparity_batch
+    imgs1 = rng.integers(0, 256, (2, 16, 24, 3), np.uint8)
+    imgs2 = np.roll(imgs1, -2, axis=2)
+    for kw in (dict(win_size=5, max_disp=4, min_disp=0),
+               dict(win_size=5, max_disp=20, min_disp=1)):
+        kw["consistent"] = consistent
+        batch = np.asarray(asw_disparity_batch(imgs1, imgs2, **kw))
+        for i in range(2):
+            np.testing.assert_array_equal(
+                batch[i], np.asarray(asw_disparity(imgs1[i], imgs2[i], **kw)))
+
+
+def _decode_jet_disparity(img_rgb, levels):
+    """Invert example-010's cv2.normalize + COLORMAP_JET rendering: map
+    each pixel to the nearest of ``levels`` evenly spaced OpenCV-JET
+    colors (Matlab jet(64) linearly interpolated to 256 entries)."""
+    def matlab_jet(m=64):
+        n = int(np.ceil(m / 4))
+        u = np.concatenate([np.arange(1, n + 1) / n, np.ones(n - 1),
+                            np.arange(n, 0, -1) / n])
+        g = int(np.ceil(n / 2)) - (m % 4 == 1) + np.arange(1, len(u) + 1)
+        r, b = g + n, g - n
+        J = np.zeros((m, 3))
+        i = r <= m; J[r[i] - 1, 0] = u[i]
+        i = (g >= 1) & (g <= m); J[g[i] - 1, 1] = u[i]
+        i = b >= 1; J[b[i] - 1, 2] = u[len(u) - i.sum():]
+        return J
+    x, xp = np.linspace(0, 1, 256), np.linspace(0, 1, 64)
+    J = matlab_jet()
+    lut = np.round(np.stack(
+        [np.interp(x, xp, J[:, c]) for c in range(3)], 1) * 255)
+    us = np.round(np.linspace(0, 255, levels)).astype(int)
+    cand = lut[us]
+    a = img_rgb.astype(float)
+    dist = ((a[:, :, None, :] - cand[None, None]) ** 2).sum(-1)
+    # 17 JET anchors are far apart; every golden pixel must sit near one
+    assert np.sqrt(dist.min(-1)).max() < 30
+    return dist.argmin(-1)
+
+
+@pytest.mark.slow
+def test_golden_disparity_asw_parity(ref_res):
+    """Kernel-level parity against the reference's committed golden
+    output (SURVEY §7 step-4 oracle).
+
+    The golden disparityASW.png is a JET-colormapped render with 17
+    levels; parameter identification against the reference C++ kernel
+    (built standalone from /root/reference/simplestereo/_passive.cpp)
+    shows it is EXACTLY StereoASW(winSize=35, minDisparity=0,
+    maxDisparity=16, gammaC=17.5, gammaP=17.5, consistent=False) —
+    100.00% bit-match. Our Pallas kernel agrees with it to 1 pixel in
+    110,592 (0.001%, a float-order argmin tie); budget 0.5%.
+    disparityAlternateASW.png is close to but not exactly reproducible
+    by the current reference code at any nearby parameter point (best
+    99.37%, same params) — an older algorithm version; budget 1.5%.
+    """
+    from simplestereo_tpu.imgio import imread
+    left = imread(str(ref_res / "tsukuba" / "tsukuba_l.png"))
+    right = imread(str(ref_res / "tsukuba" / "tsukuba_r.png"))
+    ours = np.asarray(asw_disparity(
+        left, right, win_size=35, min_disp=0, max_disp=16,
+        gamma_c=17.5, gamma_p=17.5, consistent=False))
+
+    golden_rgb = np.asarray(
+        imread(str(ref_res / "tsukuba" / "disparityASW.png"))[:, :, ::-1])
+    golden = _decode_jet_disparity(golden_rgb, 17)
+    mismatch = (ours != golden).mean()
+    assert mismatch <= 0.005, f"golden ASW mismatch {mismatch:.3%}"
+
+    alt_rgb = np.asarray(imread(
+        str(ref_res / "tsukuba" / "disparityAlternateASW.png"))[:, :, ::-1])
+    alt = _decode_jet_disparity(alt_rgb, 17)
+    mismatch_alt = (ours != alt).mean()
+    assert mismatch_alt <= 0.015, f"alternate golden mismatch {mismatch_alt:.3%}"

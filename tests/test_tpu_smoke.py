@@ -1,0 +1,128 @@
+"""Real-TPU smoke suite (SST_TEST_TPU=1 only).
+
+CPU/interpret runs CANNOT catch Mosaic lowering and hardware-semantics
+failures (vmap-over-pallas_call, tpu.dynamic_rotate amount rules, bf16-pass
+matmul precision) — see CLAUDE.md. This suite jits the load-bearing program
+shapes on the real chip with tiny shapes so a round's TPUCHECK artifact can
+certify them.
+
+Run: SST_TEST_TPU=1 python -m pytest tests/test_tpu_smoke.py -q
+(expect several minutes: remote compiles serialize).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SST_TEST_TPU"),
+    reason="real-TPU smoke suite (set SST_TEST_TPU=1)")
+
+
+@pytest.fixture(scope="module")
+def tpu_ok():
+    import jax
+    if jax.default_backend() == "cpu":
+        pytest.skip("no TPU backend")
+    return True
+
+
+def test_asw_small_consistent(tpu_ok, rng):
+    """Pallas kernel, consistent mode, unrolled-D path on hardware."""
+    from simplestereo_tpu.passive import asw_disparity
+    img1 = rng.integers(0, 256, (24, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    d = np.asarray(asw_disparity(img1, img2, win_size=9, max_disp=6,
+                                 consistent=True))
+    inner = d[8:-8, 12:-12]
+    assert (inner == 3).mean() > 0.9
+
+
+def test_asw_batched_grid_lowers_and_matches(tpu_ok, rng):
+    """The batched kernel (frame axis in the Pallas grid) must LOWER and
+    run on real hardware — the old vmap-over-pallas_call shape did not
+    (ANY-memspace operand can't take a squeezed batch dim; interpret mode
+    hides it). Must be bit-identical to per-frame runs."""
+    from simplestereo_tpu.passive import asw_disparity, asw_disparity_batch
+    imgs1 = rng.integers(0, 256, (2, 24, 48, 3), np.uint8)
+    imgs2 = np.roll(imgs1, -3, axis=2)
+    kw = dict(win_size=9, max_disp=6, consistent=True)
+    batch = np.asarray(asw_disparity_batch(imgs1, imgs2, **kw))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            batch[i], np.asarray(asw_disparity(imgs1[i], imgs2[i], **kw)))
+
+
+def test_sharded_batched_program_on_one_device_mesh(tpu_ok, rng):
+    """The EXACT dryrun_multichip program shape (shard_map over a mesh,
+    halo ppermute, batched Pallas grid) jitted on a 1-device mesh on the
+    real chip — this is the shape that reproduces the round-1 vmap
+    lowering failure when it regresses."""
+    import jax
+    import jax.numpy as jnp
+    from simplestereo_tpu import parallel
+
+    mesh = parallel.make_mesh({"rows": 1, "batch": 1},
+                              devices=jax.devices()[:1])
+    imgs1 = rng.integers(0, 256, (2, 16, 32, 3), np.uint8)
+    imgs2 = np.roll(imgs1, -2, axis=2)
+    tiled = np.asarray(parallel.tiled_asw_disparity_batch(
+        imgs1, imgs2, mesh, win_size=5, max_disp=4, consistent=True))
+    from simplestereo_tpu.passive import asw_disparity
+    for i in range(2):
+        single = np.asarray(asw_disparity(
+            imgs1[i], imgs2[i], win_size=5, max_disp=4, consistent=True))
+        assert (tiled[i] == single).mean() > 0.995
+
+
+def test_ftp_tiny_frame(tpu_ok):
+    """FTP fused pipeline end-to-end on hardware (catches bf16-pass
+    matmul precision loss in the projector mapping — geometry paths must
+    pin HIGHEST precision)."""
+    import jax.numpy as jnp
+    import simplestereo_tpu as ss
+    from simplestereo_tpu.active import StereoFTP, buildFringe
+    from simplestereo_tpu import warp
+    from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+
+    CAM = PROJ = (128, 96)
+    K = np.array([[140., 0, 63.5], [0, 140., 47.5], [0, 0, 1]])
+    R = rodrigues_to_matrix(np.array([0.0, -0.05, 0.0]))
+    T = np.array([[-40.], [1.0], [6.0]])
+    rig = ss.StereoRig(CAM, PROJ, K, K, None, None, R, T)
+
+    period = 16.0
+    fringe = buildFringe(period, dims=PROJ, stripeColor="green")
+    z0 = 520.0
+    w, h = CAM
+    xs, ys = np.meshgrid(np.arange(w) + 0.0, np.arange(h) + 0.0)
+    p = np.stack([xs, ys, np.ones_like(xs)], -1)
+    rays = p @ np.linalg.inv(K).T
+    P = z0 * rays
+    q = (P @ R.T + T.ravel()) @ K.T
+    mapu, mapv = q[..., 0] / q[..., 2], q[..., 1] / q[..., 2]
+    cam = np.asarray(warp.remap(
+        jnp.asarray(fringe), jnp.asarray(mapu, np.float32),
+        jnp.asarray(mapv, np.float32), interpolation="linear"))
+
+    ftp = StereoFTP(rig, fringe, period, stripeColor="green")
+    cloud = ftp.getCloud(cam)
+    z = cloud[20:-20, 20:-20, 2]
+    ok = np.isfinite(z)
+    assert ok.mean() > 0.9
+    assert abs(np.median(z[ok]) - z0) < 0.03 * z0
+
+
+def test_rectify_device_remap(tpu_ok, ref_res):
+    """Rectification maps + device remap on hardware, golden rig."""
+    import simplestereo_tpu as ss
+    from simplestereo_tpu import rectification
+    from simplestereo_tpu.imgio import imread
+    rig = ss.StereoRig.fromFile(str(ref_res / "2" / "rig.json"))
+    rect = rectification.directRectify(rig)
+    rect.computeRectificationMaps()
+    imgL = imread(str(ref_res / "2" / "lawn_L.png"))
+    imgR = imread(str(ref_res / "2" / "lawn_R.png"))
+    rL, rR = rect.rectifyImages(imgL, imgR)
+    assert rL.shape == imgL.shape and np.asarray(rL).any()

@@ -1,5 +1,7 @@
 """Phase unwrapping (np.unwrap parity + IIR) and host utilities."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -136,3 +138,139 @@ def test_profiling_throughput_and_memory(tmp_path):
         np.asarray(jnp.ones(8) + 1)
     import os
     assert any(os.scandir(tmp_path))
+
+
+class TestCaptureDrivers:
+    """Capture live-source parity (reference utils.py:13-181): driver
+    protocol, control-method semantics, V4L2 open path, YUYV decode."""
+
+    class SynthCamera:
+        """Synthetic camera implementing the Capture driver protocol."""
+
+        def __init__(self):
+            self.w, self.h, self.fps = 16, 12, 30
+            self.n = 0
+
+        def read(self):
+            self.n += 1
+            f = np.zeros((self.h, self.w, 3), np.uint8)
+            f[:, : self.w // 2] = (self.n % 255, 0, 0)
+            return f
+
+        def get_resolution(self):
+            return (self.w, self.h)
+
+        def set_resolution(self, w, h):
+            self.w, self.h = int(w), int(h)
+            return True
+
+        def set_frame_rate(self, fps):
+            self.fps = int(fps)
+            return True
+
+    def test_driver_object_end_to_end(self):
+        import time
+        cam = self.SynthCamera()
+        cap = ss.utils.Capture(cam)
+        # control before start: delegated to the driver
+        assert cap.setResolution(32, 24) is True
+        assert cap.setFrameRate(15) is True
+        assert cap.getResolution() == (32, 24)
+        cap.start()
+        # reference semantics: no control while the grab thread runs
+        assert cap.setResolution(64, 48) is False
+        assert cap.setFrameRate(60) is False
+        for _ in range(100):
+            f = cap.get()
+            if f is not None:
+                break
+            time.sleep(0.01)
+        cap.stop()
+        assert f is not None and f.shape == (24, 32, 3)
+
+    def test_flipY(self):
+        frame = np.zeros((4, 6, 3), np.uint8)
+        frame[:, 0] = 255
+        import time
+        cap = ss.utils.Capture(lambda: frame, flipY=True)
+        with cap:
+            for _ in range(100):
+                f = cap.get()
+                if f is not None:
+                    break
+                time.sleep(0.01)
+        assert f is not None
+        assert (f[:, -1] == 255).all() and (f[:, 0] == 0).all()
+
+    def test_file_sources_refuse_control(self, tmp_path, rng):
+        from simplestereo_tpu.imgio import imwrite
+        p = tmp_path / "0.png"
+        imwrite(str(p), rng.integers(0, 255, (8, 10, 3), np.uint8))
+        cap = ss.utils.Capture([str(p)])
+        assert cap.isFile
+        assert cap.setResolution(640, 480) is False
+        assert cap.setFrameRate(30) is False
+
+    def test_single_file_path(self, tmp_path, rng):
+        from simplestereo_tpu.imgio import imwrite
+        import time
+        p = tmp_path / "f.png"
+        imwrite(str(p), rng.integers(0, 255, (8, 10, 3), np.uint8))
+        with ss.utils.Capture(str(p)) as cap:
+            for _ in range(100):
+                f = cap.get()
+                if f is not None:
+                    break
+                time.sleep(0.01)
+        assert f is not None and f.shape == (8, 10, 3)
+
+    def test_missing_camera_raises(self):
+        import pytest
+        with pytest.raises(ValueError, match="Cannot open device"):
+            ss.utils.Capture(87)  # no /dev/video87 in this environment
+
+    def test_url_without_driver_raises(self):
+        import pytest
+        with pytest.raises(ValueError, match="Cannot open device"):
+            ss.utils.Capture("rtsp://example/stream")
+
+    def test_yuyv_to_bgr_roundtrip(self):
+        from simplestereo_tpu.v4l2 import yuyv_to_bgr
+        # gray ramp: Y = value, U = V = 128 -> B = G = R = Y
+        h, w = 4, 8
+        y = np.tile(np.arange(0, 255, 32, np.uint8), (h, 1))
+        buf = np.empty((h, w, 2), np.uint8)
+        buf[..., 0] = y
+        buf[..., 1] = 128
+        out = yuyv_to_bgr(buf.tobytes(), w, h)
+        assert out.shape == (h, w, 3)
+        np.testing.assert_array_equal(out[..., 0], y)
+        np.testing.assert_array_equal(out[..., 1], y)
+        np.testing.assert_array_equal(out[..., 2], y)
+        # pure chroma: V drives red up at mid luma
+        buf[..., 0] = 128
+        buf[:, 1::2, 1] = 255  # V
+        buf[:, 0::2, 1] = 128  # U
+        out = yuyv_to_bgr(buf.tobytes(), w, h)
+        assert (out[..., 2] > out[..., 0]).all()  # R > B everywhere
+
+    def test_example_002_flow(self, tmp_path, rng, monkeypatch):
+        """Example 002 end-to-end against synthetic directory cameras."""
+        import runpy
+        import sys
+        from simplestereo_tpu.imgio import imwrite
+        for cam in ("camL", "camR"):
+            d = tmp_path / cam
+            d.mkdir()
+            for i in range(3):
+                imwrite(str(d / f"{i}.png"),
+                        rng.integers(0, 255, (8, 10, 3), np.uint8))
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "002", str(tmp_path / "camL"), str(tmp_path / "camR")])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        runpy.run_path(
+            os.path.join(repo, "examples", "002_capture_image_pairs.py"),
+            run_name="__main__")
+        saved = list(tmp_path.glob("*_L.png"))
+        assert len(saved) >= 1
