@@ -84,15 +84,43 @@ def main():
         extra["asw_step2_bad2_nonocc"] = round(
             float(bad2s.sum() / mask.sum()), 4)
 
+    # Secondary metric: the batched ASW pipeline (frame axis folded into
+    # the Pallas kernel grid) — amortizes the ~20-30 ms per-dispatch
+    # tunnel latency, the dominant cost at Tsukuba size.
+    try:
+        from simplestereo_tpu.passive.asw_pallas import asw_disparity_batch
+
+        # Device-resident varying inputs (the tunnel's ~26 MB/s host link
+        # would otherwise dominate; outputs are still fully read back).
+        B = 8
+        stack2 = np.stack([right] * B)
+        s2d = jnp.asarray(stack2)
+        stacks = []
+        for i in range(4):
+            s = jnp.asarray(np.stack(
+                [np.roll(left, i * B + j, axis=0) for j in range(B)]))
+            s.block_until_ready()
+            stacks.append(s)
+        np.asarray(asw_disparity_batch(stacks[0], s2d, **kw))  # compile
+        times = []
+        for s1v in stacks:
+            t0 = time.perf_counter()
+            np.asarray(asw_disparity_batch(s1v, s2d, **kw))
+            times.append(time.perf_counter() - t0)
+        dtb = float(np.median(times)) / B
+        extra["asw_batch8_mpixdisp_per_s"] = round(H * W * D / dtb / 1e6, 2)
+    except Exception:
+        pass
+
     # Secondary metric: the SGM matcher (replaces the reference's
     # cv2.StereoSGBM delegation) on the same pair.
     try:
         from simplestereo_tpu.passive.sgm import StereoSGM
 
         # Tuned Tsukuba operating point (small-window SGM; the uniqueness
-        # test off keeps the nonocc evaluation dense): bad-2.0 3.6%.
+        # test off keeps the nonocc evaluation dense): bad-2.0 3.1%.
         sgm = StereoSGM(minDisparity=0, numDisparities=16, blockSize=3,
-                        P1=36, P2=288, uniquenessRatio=0)
+                        P1=36, P2=144, preFilterCap=15, uniquenessRatio=0)
         sgm.compute(left, rightd)  # compile
         times = []
         for x in lefts:
@@ -106,6 +134,31 @@ def main():
             badsg = (np.abs(dsg - gt.astype(np.float32) / 16.0) > 2.0) & mask
             extra["sgm_bad2_nonocc"] = round(
                 float(badsg.sum() / mask.sum()), 4)
+
+        # Batched SGM (frame axis on the Pallas kernel grid): dispatch
+        # paid once per stack; device-resident varying inputs as above.
+        from simplestereo_tpu.passive.sgm import _sgm_disparity_batch
+
+        B = 8
+        s2d = jnp.asarray(np.stack([np.asarray(right)] * B))
+        stacks = []
+        for i in range(4):
+            s = jnp.asarray(np.stack(
+                [np.roll(left, i * B + j, axis=0) for j in range(B)]))
+            s.block_until_ready()
+            stacks.append(s)
+        bkw = dict(min_disp=0, num_disp=16, block_size=3, P1=36.0,
+                   P2=144.0, paths=8, prefilter_cap=15.0, uniqueness=0.0,
+                   disp12_max_diff=-1, subpixel=True, aggregator="pallas")
+        np.asarray(_sgm_disparity_batch(stacks[0], s2d, **bkw))  # compile
+        times = []
+        for s1v in stacks:
+            t0 = time.perf_counter()
+            np.asarray(_sgm_disparity_batch(s1v, s2d, **bkw))
+            times.append(time.perf_counter() - t0)
+        dtsb = float(np.median(times)) / B
+        extra["sgm_batch8_mpixdisp_per_s"] = round(
+            H * W * 16 / dtsb / 1e6, 2)
     except Exception:
         pass
 

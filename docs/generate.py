@@ -29,6 +29,7 @@ MODULES = [
     "simplestereo_tpu.passive.asw_pallas",
     "simplestereo_tpu.passive.asw_ref",
     "simplestereo_tpu.passive.sgm",
+    "simplestereo_tpu.passive.sgm_pallas",
     "simplestereo_tpu.passive.gsw",
     "simplestereo_tpu.passive.lab",
     "simplestereo_tpu.active",
@@ -39,6 +40,7 @@ MODULES = [
     "simplestereo_tpu.unwrapping",
     "simplestereo_tpu.points",
     "simplestereo_tpu.parallel",
+    "simplestereo_tpu.v4l2",
     "simplestereo_tpu.profiling",
     "simplestereo_tpu.geometry.projection",
     "simplestereo_tpu.geometry.distortion",

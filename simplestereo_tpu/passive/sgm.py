@@ -168,23 +168,75 @@ def _aggregate(C, P1, P2, paths):
     return S
 
 
+def _sgm_cost(img1, img2, *, min_disp, num_disp, block_size,
+              prefilter_cap):
+    """Prefilter + BT cost + box sum for one frame (pure jnp, vmappable)."""
+    g1 = _xsobel(bgr_to_gray(img1), prefilter_cap)
+    g2 = _xsobel(bgr_to_gray(img2), prefilter_cap)
+    C = _bt_cost(g1, g2, min_disp, num_disp)
+    return _box_sum(C, block_size)
+
+
+def _run_aggregate(C, P1, P2, paths, aggregator):
+    if aggregator == "scan":
+        return _aggregate(C, P1, P2, paths)
+    # Pallas streaming scan kernels (aggregator == "pallas" on real TPU,
+    # "pallas_interpret" under tests) — see sgm_pallas. Accepts an
+    # optional leading frame axis (rides the kernel grid).
+    from .sgm_pallas import aggregate_pallas
+    return aggregate_pallas(C, P1, P2, paths,
+                            interpret=aggregator == "pallas_interpret")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("min_disp", "num_disp", "block_size", "paths",
-                     "prefilter_cap", "uniqueness", "disp12_max_diff",
-                     "subpixel"))
+                     "P1", "P2", "prefilter_cap", "uniqueness",
+                     "disp12_max_diff", "subpixel", "aggregator"))
 def _sgm_disparity(img1, img2, *, min_disp, num_disp, block_size, P1, P2,
                    paths, prefilter_cap, uniqueness, disp12_max_diff,
-                   subpixel):
-    g1 = _xsobel(bgr_to_gray(img1), prefilter_cap)
-    g2 = _xsobel(bgr_to_gray(img2), prefilter_cap)
-    H, W = g1.shape
+                   subpixel, aggregator="scan"):
+    C = _sgm_cost(img1, img2, min_disp=min_disp, num_disp=num_disp,
+                  block_size=block_size, prefilter_cap=prefilter_cap)
+    S = _run_aggregate(C, P1, P2, paths, aggregator)
+    return _sgm_post(S, min_disp=min_disp, num_disp=num_disp,
+                     uniqueness=uniqueness,
+                     disp12_max_diff=disp12_max_diff, subpixel=subpixel)
 
-    C = _bt_cost(g1, g2, min_disp, num_disp)
-    C = _box_sum(C, block_size)
 
-    S = _aggregate(C, P1, P2, paths)
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_disp", "num_disp", "block_size", "paths",
+                     "P1", "P2", "prefilter_cap", "uniqueness",
+                     "disp12_max_diff", "subpixel", "aggregator"))
+def _sgm_disparity_batch(imgs1, imgs2, *, min_disp, num_disp, block_size,
+                         P1, P2, paths, prefilter_cap, uniqueness,
+                         disp12_max_diff, subpixel, aggregator="scan"):
+    """Batched pipeline: one device program for a whole frame stack.
 
+    Cost and post passes vmap cleanly; the aggregation either vmaps (scan
+    — the batch folds into the lax.scan carries) or rides the Pallas
+    kernel grid (never a vmap around a pallas_call, which cannot lower on
+    real TPU)."""
+    cost = functools.partial(
+        _sgm_cost, min_disp=min_disp, num_disp=num_disp,
+        block_size=block_size, prefilter_cap=prefilter_cap)
+    C = jax.vmap(cost)(imgs1, imgs2)
+    if aggregator == "scan":
+        S = jax.vmap(lambda c: _aggregate(c, P1, P2, paths))(C)
+    else:
+        S = _run_aggregate(C, P1, P2, paths, aggregator)
+    post = functools.partial(
+        _sgm_post, min_disp=min_disp, num_disp=num_disp,
+        uniqueness=uniqueness, disp12_max_diff=disp12_max_diff,
+        subpixel=subpixel)
+    return jax.vmap(post)(S)
+
+
+def _sgm_post(S, *, min_disp, num_disp, uniqueness, disp12_max_diff,
+              subpixel):
+    """WTA + uniqueness + subpixel + LR check on one frame's path sum."""
+    H, W = S.shape[:2]
     # Mask candidates whose target column x - d falls outside the image.
     xs = jnp.arange(W)[None, :, None]
     ds = (jnp.arange(num_disp) + min_disp)[None, None, :]
@@ -290,19 +342,67 @@ class StereoSGM:
         self.speckleRange = speckleRange
         self.paths = paths
 
-    def compute(self, img1, img2, subpixel=True):
+    def compute(self, img1, img2, subpixel=True, aggregator=None):
+        """Compute (H, W) int16 disparity x16 for the pair.
+
+        aggregator: "pallas" (streaming Pallas scan kernels — default on
+        the TPU backend), "scan" (stacked lax.scan — default elsewhere)
+        or "pallas_interpret" (kernel correctness tests)."""
+        if aggregator is None:
+            aggregator = ("pallas" if jax.default_backend() == "tpu"
+                          else "scan")
         out = _sgm_disparity(
             jnp.asarray(img1), jnp.asarray(img2),
             min_disp=self.minDisparity, num_disp=self.numDisparities,
             block_size=self.blockSize, P1=float(self.P1), P2=float(self.P2),
             paths=self.paths, prefilter_cap=float(self.preFilterCap),
             uniqueness=float(self.uniquenessRatio),
-            disp12_max_diff=self.disp12MaxDiff, subpixel=subpixel)
+            disp12_max_diff=self.disp12MaxDiff, subpixel=subpixel,
+            aggregator=aggregator)
         out = np.asarray(out)
         if self.speckleWindowSize > 0:
             out = filter_speckles(
                 out, (self.minDisparity - 1) * 16,
                 self.speckleWindowSize, self.speckleRange * 16)
+        return out
+
+    def computeBatch(self, imgs1, imgs2, subpixel=True, aggregator=None):
+        """Batched :meth:`compute`: (B, H, W[, 3]) stacks -> (B, H, W).
+
+        One device program for the whole stack — frame batches ride the
+        Pallas kernel grid ("pallas", default on TPU) or fold into the
+        lax.scan carries ("scan", default elsewhere), so per-frame
+        dispatch latency (~20-30 ms over the TPU tunnel, comparable to a
+        whole Tsukuba frame's compute) is paid once per batch. Matches
+        per-frame :meth:`compute` output.
+        """
+        imgs1 = np.ascontiguousarray(imgs1)
+        imgs2 = np.ascontiguousarray(imgs2)
+        # (B, H, 3)-shaped gray batches are indistinguishable from a
+        # single color image — reject them to catch the common mistake of
+        # passing one frame.
+        if (imgs1.shape != imgs2.shape or imgs1.ndim not in (3, 4)
+                or (imgs1.ndim == 3 and imgs1.shape[-1] == 3)
+                or (imgs1.ndim == 4 and imgs1.shape[-1] != 3)):
+            raise ValueError(
+                "Batches must be (B, H, W) or (B, H, W, 3) stacks with "
+                "identical shapes!")
+        if aggregator is None:
+            aggregator = ("pallas" if jax.default_backend() == "tpu"
+                          else "scan")
+        out = np.asarray(_sgm_disparity_batch(
+            jnp.asarray(imgs1), jnp.asarray(imgs2),
+            min_disp=self.minDisparity, num_disp=self.numDisparities,
+            block_size=self.blockSize, P1=float(self.P1), P2=float(self.P2),
+            paths=self.paths, prefilter_cap=float(self.preFilterCap),
+            uniqueness=float(self.uniquenessRatio),
+            disp12_max_diff=self.disp12MaxDiff, subpixel=subpixel,
+            aggregator=aggregator))
+        if self.speckleWindowSize > 0:
+            out = np.stack([
+                filter_speckles(o, (self.minDisparity - 1) * 16,
+                                self.speckleWindowSize,
+                                self.speckleRange * 16) for o in out])
         return out
 
 

@@ -307,3 +307,54 @@ def test_golden_disparity_asw_parity(ref_res):
     alt = _decode_jet_disparity(alt_rgb, 17)
     mismatch_alt = (ours != alt).mean()
     assert mismatch_alt <= 0.015, f"alternate golden mismatch {mismatch_alt:.3%}"
+
+
+def test_sgm_pallas_aggregation_matches_scan(rng):
+    """The Pallas streaming-scan SGM aggregation (sgm_pallas) must match
+    the stacked-lax.scan reference aggregation bit-for-ulp."""
+    import jax.numpy as jnp
+    from simplestereo_tpu.passive.sgm import _aggregate
+    from simplestereo_tpu.passive.sgm_pallas import aggregate_pallas
+    for H, W, D, paths in ((24, 40, 8, 8), (16, 24, 11, 4)):
+        C = jnp.asarray(rng.uniform(0, 50, (H, W, D)).astype(np.float32))
+        a = np.asarray(_aggregate(C, 8.0, 32.0, paths))
+        b = np.asarray(aggregate_pallas(C, 8.0, 32.0, paths,
+                                        interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_sgm_compute_pallas_interpret_end_to_end(rng):
+    from simplestereo_tpu.passive import StereoSGM
+    img1 = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    m = StereoSGM(minDisparity=0, numDisparities=8, blockSize=5)
+    a = m.compute(img1, img2, aggregator="scan")
+    b = m.compute(img1, img2, aggregator="pallas_interpret")
+    assert (a == b).mean() > 0.999
+
+
+def test_sgm_compute_batch_matches_single(rng):
+    from simplestereo_tpu.passive import StereoSGM
+    imgs1 = rng.integers(0, 256, (2, 24, 40, 3), np.uint8)
+    imgs2 = np.roll(imgs1, -2, axis=2)
+    m = StereoSGM(minDisparity=0, numDisparities=8, blockSize=3,
+                  disp12MaxDiff=1)
+    batch = m.computeBatch(imgs1, imgs2)
+    assert batch.shape == (2, 24, 40) and batch.dtype == np.int16
+    for i in range(2):
+        np.testing.assert_array_equal(
+            batch[i], m.compute(imgs1[i], imgs2[i]))
+    with pytest.raises(ValueError):
+        m.computeBatch(imgs1[0], imgs2[0])
+
+
+def test_sgm_compute_batch_pallas_grid(rng):
+    """Batched SGM with the frame axis on the Pallas kernel grid must
+    match the vmapped-scan batch path."""
+    from simplestereo_tpu.passive import StereoSGM
+    imgs1 = rng.integers(0, 256, (2, 24, 40, 3), np.uint8)
+    imgs2 = np.roll(imgs1, -2, axis=2)
+    m = StereoSGM(minDisparity=0, numDisparities=8, blockSize=3)
+    a = m.computeBatch(imgs1, imgs2, aggregator="scan")
+    b = m.computeBatch(imgs1, imgs2, aggregator="pallas_interpret")
+    assert (a == b).mean() > 0.999

@@ -126,3 +126,18 @@ def test_rectify_device_remap(tpu_ok, ref_res):
     imgR = imread(str(ref_res / "2" / "lawn_R.png"))
     rL, rR = rect.rectifyImages(imgL, imgR)
     assert rL.shape == imgL.shape and np.asarray(rL).any()
+
+
+def test_sgm_pallas_aggregation_on_hardware(tpu_ok, rng):
+    """The streaming SGM scan kernels (double-buffered DMA, dynamic
+    leading-index loads) must lower and match the lax.scan aggregation
+    on the real chip."""
+    from simplestereo_tpu.passive import StereoSGM
+    img1 = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    m = StereoSGM(minDisparity=0, numDisparities=8, blockSize=3)
+    a = m.compute(img1, img2, aggregator="scan")
+    b = m.compute(img1, img2, aggregator="pallas")
+    assert (a == b).mean() > 0.999
+    batch = m.computeBatch(np.stack([img1, img1]), np.stack([img2, img2]))
+    assert (batch[0] == b).mean() > 0.999
