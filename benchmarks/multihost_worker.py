@@ -10,7 +10,7 @@ testable without a multi-host TPU slice (tests/test_multihost.py spawns
 TPU backend and no ``--xla_force_host_platform_device_count`` flag.
 
 Usage: python multihost_worker.py <process_id> <num_processes> <port>
-          [local_devices] [rows] [consistent]
+          [local_devices] [consistent]
 
 Process 0 prints ``MULTIHOST-OK mismatch=<frac>`` on success.
 """
@@ -24,7 +24,7 @@ def main():
     nproc = int(sys.argv[2])
     port = sys.argv[3]
     local = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    consistent = (sys.argv[6] == "1") if len(sys.argv) > 6 else False
+    consistent = (sys.argv[5] == "1") if len(sys.argv) > 5 else False
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

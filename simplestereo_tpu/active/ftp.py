@@ -199,7 +199,15 @@ class StereoFTP:
                  stripeColor="red", stripeSensitivity=0.5):
         self.stereoRig = stereoRig
         fringe = np.asarray(fringe)
-        self.fringe = self.convertGrayscale(fringe)
+        # The reference fringe must be grayscaled by the SAME hook that
+        # will grayscale the camera captures (see _grayscale_plan) —
+        # mixing hooks would mismatch the object and reference phases.
+        if self._grayscale_plan() == "device":
+            self.fringe = np.asarray(
+                self.convertGrayscaleDevice(jnp.asarray(fringe)),
+                np.float64)
+        else:
+            self.fringe = self.convertGrayscale(fringe)
         self.fringeDims = fringe.shape[:2][::-1]
         self.fp = 1.0 / period
         self.stripeColor = stripeColor
@@ -234,15 +242,23 @@ class StereoFTP:
 
     # -- internals ---------------------------------------------------------
 
-    def _customGrayscale(self):
-        """Whether a subclass overrides :meth:`convertGrayscale` (the
-        reference's documented customization point, active.py:404-429)
-        without also providing the device twins the fused path uses.
+    def _grayscale_plan(self):
+        """Which grayscale hook governs the fused path.
 
-        In that case the pipeline falls back to calling the override on
-        the host so the subclass's grayscale definition is honored
-        (e.g. a user class overriding only ``convertGrayscale`` exactly
-        like the reference's ``StereoFTPAnaglyph`` does).
+        The fused pipeline's fast path keys off the static ``_GRAY_MODE``
+        string. A subclass may instead override :meth:`convertGrayscale`
+        (the reference's documented customization point, active.py:404-429
+        — exactly how the reference's ``StereoFTPAnaglyph`` works) and/or
+        its device twin :meth:`convertGrayscaleDevice` WITHOUT declaring a
+        matching ``_GRAY_MODE``; both overrides must be honored, not
+        silently dropped. Returns:
+
+        - ``"mode"`` — ``_GRAY_MODE`` is declared at least as deep in the
+          MRO as any function override: use the fast fused branch;
+        - ``"device"`` — ``convertGrayscaleDevice`` is the deepest
+          override: apply it on device and feed the 2-D gray frame in;
+        - ``"host"`` — only ``convertGrayscale`` is overridden: apply it
+          on the host.
         """
         mro = type(self).__mro__
 
@@ -252,8 +268,17 @@ class StereoFTP:
                     return i
             return len(mro)
 
-        return depth("convertGrayscale") < min(
-            depth("convertGrayscaleDevice"), depth("_GRAY_MODE"))
+        dm = depth("_GRAY_MODE")
+        ddev = depth("convertGrayscaleDevice")
+        dhost = depth("convertGrayscale")
+        if dm <= min(ddev, dhost):
+            return "mode"
+        return "device" if ddev <= dhost else "host"
+
+    def _customGrayscale(self):
+        """True when a grayscale override bypasses the ``_GRAY_MODE``
+        fast path (see :meth:`_grayscale_plan`)."""
+        return self._grayscale_plan() != "mode"
 
     def _getProjectorMapping(self, z):
         rig = self.stereoRig
@@ -368,10 +393,15 @@ class StereoFTP:
         rigM = (np.asarray(rig.R, np.float64)
                 @ np.linalg.inv(np.asarray(rig.intrinsic1, np.float64)))
 
-        # Subclass with a custom host-side convertGrayscale (the
-        # reference's documented customization point): honor it by
-        # converting on the host and feeding the 2-D gray frame in.
-        if self._customGrayscale():
+        # Subclass with a custom grayscale (the reference's documented
+        # customization point): honor it by converting up front (device
+        # twin preferred, host fallback) and feeding the 2-D frame in.
+        plan = self._grayscale_plan()
+        if plan == "device":
+            gray_mode = "host"  # fused path consumes the 2-D frame as-is
+            imgObj = self.convertGrayscaleDevice(
+                jnp.asarray(imgObj)).astype(jnp.float32)
+        elif plan == "host":
             gray_mode = "host"
             imgObj = jnp.asarray(np.asarray(
                 self.convertGrayscale(np.asarray(imgObj)), np.float32))

@@ -114,7 +114,7 @@ class GrayCode:
 
         black, white : optional captures of the all-black / all-white
             projector frames. When both are given, pixels with
-            ``white - black < black_thr`` are rejected as shadowed
+            ``white - black <= black_thr`` are rejected as shadowed
             (unreached by projector light — the reference's
             ``computeShadowMasks`` semantics, active.py:1143-1147).
 
@@ -129,8 +129,9 @@ class GrayCode:
         w2, h2 = self.rig.res2
         valid = valid & (px < w2) & (py < h2)
         if black is not None and white is not None:
+            # strict >, matching cv2 computeShadowMasks semantics
             lit = (self._load(white).astype(np.float32)
-                   - self._load(black).astype(np.float32)) >= self.black_thr
+                   - self._load(black).astype(np.float32)) > self.black_thr
             valid = valid & lit
         return px, py, valid
 
@@ -216,9 +217,10 @@ class GrayCodeDouble:
         px, py, valid = map(np.asarray, (px, py, valid))
         valid = valid & (px < self.projRes[0]) & (py < self.projRes[1])
         if black is not None and white is not None:
+            # strict >, matching cv2 computeShadowMasks semantics
             lit = (self._load_one(white, K, dist).astype(np.float32)
                    - self._load_one(black, K, dist).astype(np.float32)
-                   ) >= self.black_thr
+                   ) > self.black_thr
             valid = valid & lit
         return px, py, valid
 

@@ -125,7 +125,7 @@ def tiled_asw_disparity(img1, img2, mesh, row_axis="rows", win_size=35,
             e1, e2, win_size=win_size, max_disp=max_disp, min_disp=min_disp,
             gamma_c=gamma_c, gamma_p=gamma_p, consistent=consistent,
             interpret=interpret, row_valid=valid)
-        return d[halo:-halo]
+        return d[halo:-halo] if halo else d
 
     return run(jnp.asarray(img1), jnp.asarray(img2))
 
@@ -169,7 +169,7 @@ def tiled_asw_disparity_batch(imgs1, imgs2, mesh, row_axis="rows",
             e1, e2, win_size=win_size, max_disp=max_disp, min_disp=min_disp,
             gamma_c=gamma_c, gamma_p=gamma_p, consistent=consistent,
             interpret=interpret, row_valid=rv)
-        return d[:, halo:-halo]
+        return d[:, halo:-halo] if halo else d
 
     return run(jnp.asarray(imgs1), jnp.asarray(imgs2))
 

@@ -264,3 +264,9 @@ class Capture:
         if self._thread is not None:
             self._thread.join(timeout=1.0)
             self._thread = None
+        # Stream off a live driver so control methods work again after a
+        # start/stop cycle (reference semantics: False only WHILE
+        # running) and the camera frees its bus bandwidth.
+        if self._source is not None and hasattr(self._source,
+                                                "stop_stream"):
+            self._source.stop_stream()

@@ -236,10 +236,19 @@ class V4L2Source:
             fcntl.ioctl(self._fd, VIDIOC_S_FMT, fmt)
             if fmt.fmt.pix.pixelformat == pf:
                 break
+        else:
+            # the driver granted something read() cannot decode (e.g. an
+            # MJPEG-only camera) — fail at open time like the capability
+            # checks, not with a garbled frame later
+            raise ValueError(
+                "Cannot open device! (camera offers neither BGR24 nor "
+                "YUYV; granted fourcc "
+                f"0x{int(fmt.fmt.pix.pixelformat):08x})")
         self._fmt = fmt
         self._w = int(fmt.fmt.pix.width)
         self._h = int(fmt.fmt.pix.height)
         self._pf = int(fmt.fmt.pix.pixelformat)
+        self._stride = int(fmt.fmt.pix.bytesperline)
 
     def _start_stream(self):
         req = _v4l2_requestbuffers()
@@ -272,14 +281,20 @@ class V4L2Source:
         b.type, b.memory = V4L2_BUF_TYPE_VIDEO_CAPTURE, V4L2_MEMORY_MMAP
         fcntl.ioctl(self._fd, VIDIOC_DQBUF, b)
         raw = self._bufs[b.index][: b.bytesused]
+        # honor the driver-reported row stride (drivers may pad rows for
+        # alignment; V4L2 permits bytesperline > width * bpp)
+        bpp = 2 if self._pf == V4L2_PIX_FMT_YUYV else 3
+        stride = max(self._stride, self._w * bpp)
+        rows = np.frombuffer(raw, np.uint8,
+                             count=stride * self._h).reshape(self._h,
+                                                             stride)
+        packed = np.ascontiguousarray(rows[:, : self._w * bpp])
         if self._pf == V4L2_PIX_FMT_YUYV:
-            frame = yuyv_to_bgr(raw, self._w, self._h)
+            frame = yuyv_to_bgr(packed, self._w, self._h)
         else:
-            frame = np.frombuffer(raw, np.uint8).reshape(
-                self._h, self._w, 3)
+            frame = packed.reshape(self._h, self._w, 3)
             if self._pf == V4L2_PIX_FMT_RGB24:
-                frame = frame[:, :, ::-1]
-            frame = frame.copy()
+                frame = np.ascontiguousarray(frame[:, :, ::-1])
         fcntl.ioctl(self._fd, VIDIOC_QBUF, b)
         return frame
 
@@ -306,16 +321,37 @@ class V4L2Source:
         tf = parm.parm.capture.timeperframe
         return tf.denominator == int(fps) and tf.numerator == 1
 
+    def stop_stream(self):
+        """Stream off and free the MMAP ring (keeps the device open).
+
+        Called by ``Capture.stop()`` so the camera releases USB bandwidth
+        and control methods (``set_resolution``/``set_frame_rate``) work
+        again after a start/stop cycle; the next :meth:`read` negotiates
+        a fresh ring and streams back on.
+        """
+        if self._fd is None or not self._streaming:
+            return
+        try:
+            fcntl.ioctl(self._fd, VIDIOC_STREAMOFF,
+                        ctypes.c_int(V4L2_BUF_TYPE_VIDEO_CAPTURE))
+        except OSError:
+            pass
+        self._streaming = False
+        for m in self._bufs:
+            m.close()
+        self._bufs = []
+        req = _v4l2_requestbuffers()
+        req.count, req.type, req.memory = (
+            0, V4L2_BUF_TYPE_VIDEO_CAPTURE, V4L2_MEMORY_MMAP)
+        try:
+            fcntl.ioctl(self._fd, VIDIOC_REQBUFS, req)  # free kernel bufs
+        except OSError:
+            pass
+
     def release(self):
         if self._fd is None:
             return
-        if self._streaming:
-            try:
-                fcntl.ioctl(self._fd, VIDIOC_STREAMOFF,
-                            ctypes.c_int(V4L2_BUF_TYPE_VIDEO_CAPTURE))
-            except OSError:
-                pass
-            self._streaming = False
+        self.stop_stream()
         for m in self._bufs:
             m.close()
         self._bufs = []

@@ -399,3 +399,44 @@ def test_graycode_shadow_masking():
     xs = p[:, 0] / p[:, 2]
     # depth quantization shifts reprojected columns by ~1 px
     assert ((xs < 29.0) | (xs > 50.0)).mean() > 0.98
+
+
+def test_ftp_subclass_overriding_only_device_grayscale():
+    """A subclass overriding ONLY convertGrayscaleDevice (without a
+    matching _GRAY_MODE) must have it honored by the fused path instead
+    of silently falling back to the base max-channel mode."""
+    from simplestereo_tpu.active import StereoFTPAnaglyph
+    from simplestereo_tpu.active.ftp import StereoFTP
+    from simplestereo_tpu import warp
+    import jax.numpy as jnp
+
+    class UserDeviceAnaglyph(StereoFTP):
+        @staticmethod
+        def convertGrayscaleDevice(img):
+            if img.ndim == 2:
+                return img.astype(jnp.float32)
+            d = (img[:, :, 0].astype(jnp.float32)
+                 - img[:, :, 2].astype(jnp.float32))
+            ptp = jnp.ptp(d)
+            return (d - jnp.min(d)) / jnp.where(ptp > 0, ptp, 1.0)
+
+    rig = _make_rig()
+    period = 16.0
+    fringe = buildAnaglyphFringe(period, dims=PROJ_RES)
+    z0 = 520.0
+    mapu, mapv, _ = _proj_coords_for_plane(rig, z0)
+    cam_img = np.asarray(warp.remap(
+        jnp.asarray(fringe), jnp.asarray(mapu, jnp.float32),
+        jnp.asarray(mapv, jnp.float32), interpolation="linear"))
+
+    builtin = StereoFTPAnaglyph(rig, fringe, period, stripeColor="green")
+    user = UserDeviceAnaglyph(rig, fringe, period, stripeColor="green")
+    assert user._grayscale_plan() == "device"
+    assert builtin._grayscale_plan() == "mode"
+    c_builtin = builtin.getCloud(cam_img)
+    c_user = user.getCloud(cam_img)
+    s = np.s_[20:-20, 20:-20, 2]
+    a, b = c_builtin[s], c_user[s]
+    ok = np.isfinite(a) & np.isfinite(b)
+    assert ok.mean() > 0.9
+    np.testing.assert_allclose(a[ok], b[ok], rtol=1e-3)

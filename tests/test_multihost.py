@@ -41,7 +41,7 @@ def test_two_process_row_tiling(consistent):
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), "2", str(port), "4",
-             "8", consistent],
+             consistent],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
         for pid in range(2)
