@@ -7,11 +7,14 @@ Methodology: median wall-clock of single calls with *varying* inputs and
 full host readback (defeats async early-acks and any transport-level
 result caching), on the fused one-dispatch consistent pipeline.
 
-Baseline: the reference C++ thread-pool ASW does the full 384x288,
-11-candidate, winSize=35 consistent scan in <1 s on 4 CPU threads
-(/root/reference/simplestereo/passive.py:53-56; see BASELINE.md) =
-1.33 Mpix*disp/s. Same parameters as the reference's
-examples/010 StereoMatchingTsukuba.py:29.
+Baseline: the reference C++ thread-pool ASW at 384x288, 11 candidates,
+winSize=35, consistent — BASELINE.md's conservative figure of
+1.33 Mpix*disp/s ("<1 s on 4 CPU threads",
+/root/reference/simplestereo/passive.py:53-56) is kept as vs_baseline
+for cross-round continuity. Measured directly on THIS host (the
+reference _passive.cpp built standalone, 4 CPU threads, identical
+example-010 parameters): 14.5 s/frame = 0.084 Mpix*disp/s, i.e. the
+real same-machine speedup is ~16x larger than vs_baseline reports.
 """
 
 import json

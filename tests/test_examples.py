@@ -24,6 +24,7 @@ CHEAP = [
     "102_cam_proj_capture.py",
 ]
 SLOW = [
+    "202_streaming_pipeline.py",
     "006_rectify_images.py",       # 720p remap compile
     "010_stereo_matching_tsukuba.py",   # ASW+SGM on Tsukuba (interpret)
     "011_build_3d_point_cloud.py",
