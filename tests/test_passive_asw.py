@@ -358,3 +358,43 @@ def test_sgm_compute_batch_pallas_grid(rng):
     a = m.computeBatch(imgs1, imgs2, aggregator="scan")
     b = m.computeBatch(imgs1, imgs2, aggregator="pallas_interpret")
     assert (a == b).mean() > 0.999
+
+
+def test_reference_cpp_golden_fixture():
+    """Bit-level parity against the reference C++ kernels.
+
+    tests/golden/matcher_golden.npz holds the OUTPUTS of the reference's
+    `_passive.computeASW`/`computeGSW` (built standalone from
+    /root/reference/simplestereo/_passive.cpp during round 2) on a
+    committed random image pair, so parity is checkable in CI without
+    building the reference. ASW gets a small budget for float-order
+    argmin ties (uniform noise makes near-ties common); GSW reproduced
+    the reference bit-for-bit when the fixture was generated.
+    """
+    import os
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "matcher_golden.npz")
+    g = np.load(path)
+    img1, img2 = g["img1"], g["img2"]
+
+    cases = {
+        "asw_w7_d1_6": dict(win_size=7, max_disp=6, min_disp=1,
+                            consistent=False),
+        "asw_w7_d1_6_cons": dict(win_size=7, max_disp=6, min_disp=1,
+                                 consistent=True),
+        "asw_w5_d0_4": dict(win_size=5, max_disp=4, min_disp=0,
+                            consistent=False),
+        "asw_w7_d0_17_cons": dict(win_size=7, max_disp=17, min_disp=0,
+                                  consistent=True),
+    }
+    for name, kw in cases.items():
+        ours = np.asarray(asw_disparity(img1, img2, **kw))
+        mismatch = (ours != g[name]).mean()
+        assert mismatch <= 0.03, f"{name}: {mismatch:.2%} vs reference C++"
+
+    from simplestereo_tpu.passive import gsw_disparity
+    ours = np.asarray(gsw_disparity(
+        img1, img2, win_size=5, max_disp=4, min_disp=0, gamma=10.0,
+        f_max=120.0, iterations=2))
+    mismatch = (ours != g["gsw_w5_d0_4"]).mean()
+    assert mismatch <= 0.005, f"gsw: {mismatch:.2%} vs reference C++"
