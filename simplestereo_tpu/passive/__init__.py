@@ -46,6 +46,11 @@ class StereoASW:
         decrease" (passive.py:43-46) but never implemented: support
         weights and costs are accumulated on a step-lattice of window
         offsets anchored at the center pixel.
+    subpixel : bool
+        Equiangular sub-pixel refinement of the winner from its cost
+        neighborhood (beyond the reference's integer-only ASW; the
+        V-shaped fit matches the SAD-class cost profile). ``compute``
+        returns float32 disparity then.
 
     ..note::
         Differently from the reference C++ implementation, which warns it is
@@ -54,7 +59,8 @@ class StereoASW:
     """
 
     def __init__(self, winSize=35, maxDisparity=16, minDisparity=0,
-                 gammaC=5, gammaP=17.5, consistent=False, step=1):
+                 gammaC=5, gammaP=17.5, consistent=False, step=1,
+                 subpixel=False):
         if winSize <= 0 or winSize % 2 == 0:
             raise ValueError("winSize must be a positive odd number!")
         if step < 1:
@@ -66,6 +72,7 @@ class StereoASW:
         self.gammaP = gammaP
         self.consistent = consistent
         self.step = step
+        self.subpixel = subpixel
 
     def compute(self, img1, img2):
         """Compute the disparity map of the pair.
@@ -82,7 +89,8 @@ class StereoASW:
             img1, img2, win_size=self.winSize,
             max_disp=self.maxDisparity, min_disp=self.minDisparity,
             gamma_c=float(self.gammaC), gamma_p=float(self.gammaP),
-            consistent=self.consistent, step=self.step)
+            consistent=self.consistent, step=self.step,
+            subpixel=self.subpixel)
         return np.asarray(out)
 
     def computeBatch(self, imgs1, imgs2):
@@ -108,7 +116,8 @@ class StereoASW:
             imgs1, imgs2, win_size=self.winSize,
             max_disp=self.maxDisparity, min_disp=self.minDisparity,
             gamma_c=float(self.gammaC), gamma_p=float(self.gammaP),
-            consistent=self.consistent, step=self.step)
+            consistent=self.consistent, step=self.step,
+            subpixel=self.subpixel)
         return np.asarray(out)
 
 

@@ -148,7 +148,7 @@ def _slab_rows(win_size, tile_h):
 
 def _asw_kernel(prox_ref, planes_hbm, *refs, pad, w_acc, w_slab, min_disp,
                 max_disp, gamma_c, win_size, tile_h, step, width,
-                consistent, batched):
+                consistent, batched, subpixel):
     """One program = one band of ``tile_h`` output rows.
 
     prox_ref : (win, win) f32 in SMEM — exp(-2*sqrt(di^2+dj^2)/gammaP).
@@ -168,11 +168,11 @@ def _asw_kernel(prox_ref, planes_hbm, *refs, pad, w_acc, w_slab, min_disp,
         only present when ``consistent`` (the non-consistent path skips
         the whole costR tail).
     """
-    if consistent:
-        disp_ref, dispr_ref, slab, tad, tadr, num, den, sem = refs
-    else:
-        disp_ref, slab, tad, tadr, num, den, sem = refs
-        dispr_ref = None
+    refs = list(refs)
+    disp_ref = refs.pop(0)
+    dispr_ref = refs.pop(0) if consistent else None
+    csub_ref = refs.pop(0) if subpixel else None
+    slab, tad, tadr, num, den, sem = refs
     D = max_disp - min_disp + 1
     th = tile_h
     b = pl.program_id(1) if batched else pl.program_id(0)
@@ -282,7 +282,35 @@ def _asw_kernel(prox_ref, planes_hbm, *refs, pad, w_acc, w_slab, min_disp,
         ref[...] = val[None] if batched else val  # batched block: (1, th, w)
 
     cost = jnp.where(lanes >= dcand, cost, jnp.inf)   # x - d >= 0
-    store(disp_ref, jnp.argmin(cost, axis=0).astype(jnp.int32) + min_disp)
+    best = jnp.argmin(cost, axis=0).astype(jnp.int32)
+    store(disp_ref, best + min_disp)
+
+    if subpixel:
+        # Neighbor costs of the winner for the quadratic sub-pixel fit,
+        # extracted by one-hot selection (dynamic sublane indexing of a
+        # value is not lowerable; the one-hot sum is D cheap vector ops).
+        c0 = jnp.min(cost, axis=0)
+        if D <= _D_UNROLL:
+            cm = jnp.zeros((th, w_acc), jnp.float32)
+            cp = jnp.zeros((th, w_acc), jnp.float32)
+            for dd in range(D):
+                cm = cm + jnp.where(best == dd + 1, cost[dd], 0.0)
+                cp = cp + jnp.where(best == dd - 1, cost[dd], 0.0)
+        else:
+            num[...] = cost  # scratch: make cost readable at traced dd
+
+            def sub_body(dd, carry):
+                cm, cp = carry
+                cd = num[dd]  # scratch block is (D, tile_h, w_acc)
+                cm = cm + jnp.where(best == dd + 1, cd, 0.0)
+                cp = cp + jnp.where(best == dd - 1, cd, 0.0)
+                return (cm, cp)
+
+            cm, cp = jax.lax.fori_loop(
+                0, D, sub_body,
+                (jnp.zeros((th, w_acc), jnp.float32),
+                 jnp.zeros((th, w_acc), jnp.float32)))
+        store(csub_ref, jnp.stack([cm, c0, cp]))
 
     if not consistent:
         return  # non-consistent path: no right-reference map needed
@@ -322,17 +350,19 @@ def _asw_kernel(prox_ref, planes_hbm, *refs, pad, w_acc, w_slab, min_disp,
     jax.jit,
     static_argnames=("H", "W", "win_size", "min_disp", "max_disp",
                      "gamma_c", "gamma_p", "interpret", "tile_h", "step",
-                     "consistent"))
+                     "consistent", "subpixel"))
 def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
-              interpret, tile_h, step=1, consistent=True):
+              interpret, tile_h, step=1, consistent=True, subpixel=False):
     """Left-reference matching pass. planes: (12, Hp, w_slab) f32 padded,
     or (B, 12, Hp, w_slab) for a frame batch — the batch rides a leading
     grid axis inside the SAME kernel (one launch for the whole batch; no
     vmap around the pallas_call, which cannot lower on real TPU).
 
-    Returns (dispL, dispR) when ``consistent``, else (dispL, None): the
-    right-reference tail (per-d lane rolls + a second argmin) is skipped
-    entirely on the non-consistent path where it would be discarded.
+    Returns (dispL, dispR, csub): dispR is None unless ``consistent``
+    (the right-reference tail — per-d lane rolls + a second argmin — is
+    skipped entirely where it would be discarded); csub is None unless
+    ``subpixel`` (then (3, H, W) [c(best-1), c(best), c(best+1)] for the
+    quadratic sub-pixel fit).
     """
     batched = planes.ndim == 4
     pad = win_size // 2
@@ -348,7 +378,8 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
         _asw_kernel, pad=pad, w_acc=w_acc, w_slab=w_slab,
         min_disp=min_disp, max_disp=max_disp,
         gamma_c=float(gamma_c), win_size=win_size, tile_h=tile_h,
-        step=step, width=W, consistent=consistent, batched=batched)
+        step=step, width=W, consistent=consistent, batched=batched,
+        subpixel=subpixel)
 
     if batched:
         B = planes.shape[0]
@@ -358,6 +389,11 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
             memory_space=pltpu.VMEM)
         out_struct = jax.ShapeDtypeStruct(
             (B, n_bands * tile_h, w_acc), jnp.int32)
+        sub_spec = pl.BlockSpec(
+            (1, 3, tile_h, w_acc), lambda bi, b: (bi, 0, b, 0),
+            memory_space=pltpu.VMEM)
+        sub_struct = jax.ShapeDtypeStruct(
+            (B, 3, n_bands * tile_h, w_acc), jnp.float32)
         frames = B
     else:
         grid = (n_bands,)
@@ -365,8 +401,16 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
             (tile_h, w_acc), lambda b: (b, 0), memory_space=pltpu.VMEM)
         out_struct = jax.ShapeDtypeStruct(
             (n_bands * tile_h, w_acc), jnp.int32)
+        sub_spec = pl.BlockSpec(
+            (3, tile_h, w_acc), lambda b: (0, b, 0),
+            memory_space=pltpu.VMEM)
+        sub_struct = jax.ShapeDtypeStruct(
+            (3, n_bands * tile_h, w_acc), jnp.float32)
         frames = 1
-    n_out = 2 if consistent else 1
+    out_specs = [out_spec] + ([out_spec] if consistent else []) \
+        + ([sub_spec] if subpixel else [])
+    out_shapes = [out_struct] + ([out_struct] if consistent else []) \
+        + ([sub_struct] if subpixel else [])
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -374,8 +418,8 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[out_spec] * n_out,
-        out_shape=[out_struct] * n_out,
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((12, _slab_rows(win_size, tile_h), w_slab),
                        jnp.float32),
@@ -397,9 +441,11 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
             * (win_size // step) ** 2 * 3),
         interpret=interpret,
     )(prox2, planes)
-    if consistent:
-        return out[0][..., :H, :W], out[1][..., :H, :W]
-    return out[0][..., :H, :W], None
+    out = list(out)
+    dispL = out.pop(0)[..., :H, :W]
+    dispR = out.pop(0)[..., :H, :W] if consistent else None
+    csub = out.pop(0)[..., :H, :W] if subpixel else None
+    return dispL, dispR, csub
 
 
 def _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
@@ -440,40 +486,64 @@ def _auto_interpret():
     return jax.default_backend() != "tpu"
 
 
-def _finish(dispL, dispR, *, W, min_disp, consistent):
+def _finish(dispL, dispR, csub, *, W, min_disp, max_disp, consistent,
+            subpixel):
     """Post-kernel passes on one frame: empty-range semantics, LR check
-    (_passive.cpp:191-253) and occlusion fill (_passive.cpp:258-285).
-    Pure jnp — safe to vmap over a frame batch."""
+    (_passive.cpp:191-253), occlusion fill (_passive.cpp:258-285) and the
+    optional quadratic sub-pixel refinement. Pure jnp — safe to vmap
+    over a frame batch."""
     H = dispL.shape[0]
+    raw = dispL  # kernel argmin map, before the empty-range substitution
     xs = jnp.arange(W)
     # Empty candidate range (x < min_disp): the reference outputs the pixel's
     # own column index (dBest stays 0 -> disparity x - 0).
     dispL = jnp.where(xs[None, :] < min_disp, xs[None, :], dispL)
 
-    if not consistent:
-        return dispL.astype(jnp.int16)
+    if consistent:
+        # Empty range on the right pass: dBest stays 0 there too, which
+        # in right-image coordinates means matched left col 0, disp -x.
+        xs_f = xs[None, :]
+        dispR = jnp.where((W - 1 - xs_f) < min_disp, -xs_f, dispR)
 
-    # Empty range on the right pass: dBest stays 0 there too, which in
-    # right-image coordinates means matched left column 0, disparity -x.
-    xs_f = xs[None, :]
-    dispR = jnp.where((W - 1 - xs_f) < min_disp, -xs_f, dispR)
+        # Invalidate left pixels whose right-pass match disagrees; fill.
+        L = jnp.clip(xs_f + dispR, 0, W - 1)
+        agree = jnp.take_along_axis(dispL, L, axis=1) == dispR
+        disagree = jnp.zeros((H, W), bool)
+        disagree = jax.vmap(lambda f, l, a: f.at[l].max(~a))(
+            disagree, L, agree)
+        dispI = jnp.where(disagree, -1, dispL)
+        out_i = occlusion_fill(dispI).astype(jnp.int16)
+    else:
+        out_i = dispL.astype(jnp.int16)
 
-    # Invalidate left pixels whose right-pass match disagrees, then fill.
-    L = jnp.clip(xs_f + dispR, 0, W - 1)
-    agree = jnp.take_along_axis(dispL, L, axis=1) == dispR
-    disagree = jnp.zeros((H, W), bool)
-    disagree = jax.vmap(lambda f, l, a: f.at[l].max(~a))(disagree, L, agree)
-    dispI = jnp.where(disagree, -1, dispL)
-    return occlusion_fill(dispI).astype(jnp.int16)
+    if not subpixel:
+        return out_i
+
+    # Equiangular (V-shaped) fit through the winner's cost neighborhood —
+    # the correct sub-pixel model for SAD-class costs, whose profile is
+    # piecewise LINEAR in d near the minimum (a parabola fit biases
+    # fractional shifts toward integers); the reference's ASW is
+    # integer-only. Only pixels whose final value still equals the kernel
+    # argmin are refined (consistency fills and empty-range substitutions
+    # stay integer).
+    cm, c0, cp = csub[0], csub[1], csub[2]
+    interior = (raw > min_disp) & (raw < max_disp)
+    finite = jnp.isfinite(cm) & jnp.isfinite(cp) & jnp.isfinite(c0)
+    denom = jnp.maximum(cm, cp) - c0
+    delta = jnp.where(interior & finite & (denom > 1e-6),
+                      (cm - cp) / (2.0 * denom), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    return out_i.astype(jnp.float32) + jnp.where(out_i == raw, delta, 0.0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("win_size", "max_disp", "min_disp", "gamma_c",
-                     "gamma_p", "consistent", "interpret", "step"))
+                     "gamma_p", "consistent", "interpret", "step",
+                     "subpixel"))
 def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
                        min_disp, gamma_c, gamma_p, consistent, interpret,
-                       step):
+                       step, subpixel=False):
     """Whole (optionally consistent) pipeline as ONE device program —
     plane prep, kernel pass(es), LR check and occlusion fill fused into a
     single dispatch so host-device round-trip latency is paid once."""
@@ -483,7 +553,8 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
 
     kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
               gamma_c=gamma_c, gamma_p=gamma_p, interpret=interpret,
-              tile_h=tile_h, step=step, consistent=consistent)
+              tile_h=tile_h, step=step, consistent=consistent,
+              subpixel=subpixel)
 
     planesL = _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
                             row_valid)
@@ -491,18 +562,20 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
     # cost volume is a per-d lane shift of the left one (see the symmetry
     # note in _asw_kernel), so consistent mode no longer pays a second
     # full scan.
-    dispL, dispR = _asw_pass(planesL, H=H, W=W, **kw)
-    return _finish(dispL, dispR, W=W, min_disp=min_disp,
-                   consistent=consistent)
+    dispL, dispR, csub = _asw_pass(planesL, H=H, W=W, **kw)
+    return _finish(dispL, dispR, csub, W=W, min_disp=min_disp,
+                   max_disp=max_disp, consistent=consistent,
+                   subpixel=subpixel)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("win_size", "max_disp", "min_disp", "gamma_c",
-                     "gamma_p", "consistent", "interpret", "step"))
+                     "gamma_p", "consistent", "interpret", "step",
+                     "subpixel"))
 def _asw_disparity_batch_jit(imgs1, imgs2, row_valid, *, win_size, max_disp,
                              min_disp, gamma_c, gamma_p, consistent,
-                             interpret, step):
+                             interpret, step, subpixel=False):
     """Batched pipeline: ONE kernel launch for the whole frame stack.
 
     Plane prep and the post passes are pure jnp and vmap cleanly; only the
@@ -515,7 +588,8 @@ def _asw_disparity_batch_jit(imgs1, imgs2, row_valid, *, win_size, max_disp,
 
     kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
               gamma_c=gamma_c, gamma_p=gamma_p, interpret=interpret,
-              tile_h=tile_h, step=step, consistent=consistent)
+              tile_h=tile_h, step=step, consistent=consistent,
+              subpixel=subpixel)
 
     def build(a, b, rv):
         return _build_planes(a, b, win_size, w_acc, w_slab, tile_h, rv)
@@ -525,17 +599,22 @@ def _asw_disparity_batch_jit(imgs1, imgs2, row_valid, *, win_size, max_disp,
     else:
         planes = jax.vmap(build)(imgs1, imgs2, row_valid)
 
-    dispL, dispR = _asw_pass(planes, H=H, W=W, **kw)
+    dispL, dispR, csub = _asw_pass(planes, H=H, W=W, **kw)
     post = functools.partial(_finish, W=W, min_disp=min_disp,
-                             consistent=consistent)
-    if consistent:
-        return jax.vmap(post)(dispL, dispR)
-    return jax.vmap(lambda l: post(l, None))(dispL)
+                             max_disp=max_disp, consistent=consistent,
+                             subpixel=subpixel)
+    args = [dispL]
+    in_axes = [0]
+    args.append(dispR if consistent else None)
+    in_axes.append(0 if consistent else None)
+    args.append(csub if subpixel else None)
+    in_axes.append(0 if subpixel else None)
+    return jax.vmap(post, in_axes=tuple(in_axes))(*args)
 
 
 def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
                   gamma_c=5.0, gamma_p=17.5, consistent=False,
-                  interpret=None, row_valid=None, step=1):
+                  interpret=None, row_valid=None, step=1, subpixel=False):
     """ASW disparity map on TPU (Pallas production path).
 
     Parameters mirror the reference ``StereoASW``
@@ -543,11 +622,21 @@ def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
     validated against
     :func:`simplestereo_tpu.passive.asw_ref.asw_disparity_ref`.
 
+    subpixel : bool
+        Equiangular sub-pixel refinement of the winner from its cost
+        neighborhood (a capability beyond the reference's integer-only
+        ASW; the V-shaped fit matches the SAD-class cost profile).
+        Returns float32 then. A synthetic half-pixel shift is recovered
+        to ~0.1 px; note that against INTEGER ground truth (e.g.
+        Middlebury's x16-quantized maps at whole-pixel scenes) fractional
+        output cannot improve badX metrics — its value shows on scenes
+        with true fractional disparity.
+
     Returns
     -------
     jnp.ndarray
         (H, W) int16 disparity; -1 never appears (consistent mode fills
-        occlusions like the reference).
+        occlusions like the reference). float32 when ``subpixel``.
     """
     if interpret is None:
         interpret = _auto_interpret()
@@ -556,12 +645,13 @@ def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
         win_size=win_size, max_disp=max_disp, min_disp=min_disp,
         gamma_c=float(gamma_c), gamma_p=float(gamma_p),
         consistent=bool(consistent), interpret=bool(interpret),
-        step=int(step))
+        step=int(step), subpixel=bool(subpixel))
 
 
 def asw_disparity_batch(imgs1, imgs2, win_size=35, max_disp=16, min_disp=0,
                         gamma_c=5.0, gamma_p=17.5, consistent=False,
-                        interpret=None, row_valid=None, step=1):
+                        interpret=None, row_valid=None, step=1,
+                        subpixel=False):
     """Batched :func:`asw_disparity`: (B, H, W, 3) pairs -> (B, H, W) i16.
 
     The whole stack runs as ONE kernel launch — the frame axis is a
@@ -581,4 +671,4 @@ def asw_disparity_batch(imgs1, imgs2, win_size=35, max_disp=16, min_disp=0,
         win_size=win_size, max_disp=max_disp, min_disp=min_disp,
         gamma_c=float(gamma_c), gamma_p=float(gamma_p),
         consistent=bool(consistent), interpret=bool(interpret),
-        step=int(step))
+        step=int(step), subpixel=bool(subpixel))

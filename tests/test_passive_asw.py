@@ -398,3 +398,54 @@ def test_reference_cpp_golden_fixture():
         f_max=120.0, iterations=2))
     mismatch = (ours != g["gsw_w5_d0_4"]).mean()
     assert mismatch <= 0.005, f"gsw: {mismatch:.2%} vs reference C++"
+
+
+@pytest.mark.parametrize("consistent", [False, True])
+def test_subpixel_refinement(rng, consistent):
+    """subpixel=True (a capability beyond the reference's integer-only
+    ASW): int part must match the integer path; deltas live in
+    [-0.5, 0.5]; a true half-pixel shift is recovered."""
+    import jax.numpy as jnp
+    from simplestereo_tpu import warp
+
+    # fractional-shift pair via linear resampling: true disparity 2.5.
+    # The base must be SMOOTH: half-pixel linear resampling of white
+    # noise halves its contrast and destroys correspondence; a smooth
+    # field resamples faithfully.
+    h, w = 24, 52
+    coarse = rng.uniform(0, 255, (h // 4 + 2, w // 4 + 2, 3))
+    ys4, xs4 = np.meshgrid(np.arange(h) / 4.0, np.arange(w) / 4.0,
+                           indexing="ij")
+    base = np.stack([
+        np.asarray(warp.remap(jnp.asarray(coarse[..., c]),
+                              jnp.asarray(xs4, np.float32),
+                              jnp.asarray(ys4, np.float32),
+                              interpolation="cubic"))
+        for c in range(3)], -1)
+    img1 = np.clip(base, 0, 255).astype(np.uint8)
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    img2 = np.clip(np.asarray(warp.remap(
+        jnp.asarray(base.astype(np.float32)), jnp.asarray(xs + 2.5),
+        jnp.asarray(ys), interpolation="linear")), 0, 255).astype(np.uint8)
+
+    for kw in (dict(win_size=5, max_disp=6),
+               dict(win_size=5, max_disp=20)):   # fori (D>16) path too
+        kw["consistent"] = consistent
+        di = np.asarray(asw_disparity(img1, img2, **kw))
+        ds = np.asarray(asw_disparity(img1, img2, subpixel=True, **kw))
+        assert ds.dtype == np.float32
+        assert np.abs(ds - di).max() <= 0.5 + 1e-6
+        inner = ds[5:-5, 10:-10]
+        assert abs(np.median(inner) - 2.5) < 0.2
+
+
+def test_subpixel_batch_matches_single(rng):
+    from simplestereo_tpu.passive import asw_disparity_batch
+    imgs1 = rng.integers(0, 256, (2, 16, 24, 3), np.uint8)
+    imgs2 = np.roll(imgs1, -2, axis=2)
+    kw = dict(win_size=5, max_disp=4, consistent=True, subpixel=True)
+    batch = np.asarray(asw_disparity_batch(imgs1, imgs2, **kw))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            batch[i], np.asarray(asw_disparity(imgs1[i], imgs2[i], **kw)))

@@ -141,3 +141,18 @@ def test_sgm_pallas_aggregation_on_hardware(tpu_ok, rng):
     assert (a == b).mean() > 0.999
     batch = m.computeBatch(np.stack([img1, img1]), np.stack([img2, img2]))
     assert (batch[0] == b).mean() > 0.999
+
+
+def test_asw_subpixel_on_hardware(tpu_ok, rng):
+    """Subpixel output path (one-hot neighbor-cost extraction + extra f32
+    kernel output) must lower and bound deltas on the real chip."""
+    from simplestereo_tpu.passive import asw_disparity
+    img1 = rng.integers(0, 256, (24, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    kw = dict(win_size=9, max_disp=6, consistent=True)
+    di = np.asarray(asw_disparity(img1, img2, **kw))
+    ds = np.asarray(asw_disparity(img1, img2, subpixel=True, **kw))
+    assert ds.dtype == np.float32
+    assert np.abs(ds - di).max() <= 0.5 + 1e-6
+    inner = ds[8:-8, 12:-12]
+    assert (np.abs(inner - 3) <= 0.5).mean() > 0.9
