@@ -96,7 +96,8 @@ class StereoASW:
     def computeBatch(self, imgs1, imgs2):
         """Batched :meth:`compute` over leading-axis frame stacks.
 
-        (B, H, W, 3) pairs -> (B, H, W) int16 disparity. The whole stack
+        (B, H, W, 3) pairs -> (B, H, W) int16 disparity (float32
+        when ``subpixel``). The whole stack
         is ONE kernel launch: the frame axis rides a leading Pallas grid
         dimension (:func:`asw_disparity_batch`), amortizing the ~20 ms
         per-dispatch tunnel latency over the batch. (vmap and lax.map

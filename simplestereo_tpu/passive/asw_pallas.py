@@ -327,7 +327,8 @@ def _asw_kernel(prox_ref, planes_hbm, *refs, pad, w_acc, w_slab, min_disp,
         costR = jnp.stack(
             [_roll_const(cost[dd], -(min_disp + dd)) for dd in range(D)])
     else:
-        num[...] = cost          # reuse scratch: masked cost volume
+        if not subpixel:         # the subpixel branch already stored it
+            num[...] = cost      # reuse scratch: masked cost volume
         def right_body(dd, _):
             # Rotate amount must be kept in [0, lanes]: NEGATIVE traced
             # amounts mis-rotate by an extra lane tile (128) on real
@@ -533,7 +534,14 @@ def _finish(dispL, dispR, csub, *, W, min_disp, max_disp, consistent,
     delta = jnp.where(interior & finite & (denom > 1e-6),
                       (cm - cp) / (2.0 * denom), 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
-    return out_i.astype(jnp.float32) + jnp.where(out_i == raw, delta, 0.0)
+    refine = out_i == raw
+    if consistent and min_disp <= -1:
+        # occlusion_fill leaves fully-invalid rows at the -1 marker; with
+        # negative min_disp a raw argmin of -1 is legal and would collide
+        # with it — keep marker rows exactly integer.
+        marker_row = jnp.all(out_i == -1, axis=1, keepdims=True)
+        refine = refine & ~marker_row
+    return out_i.astype(jnp.float32) + jnp.where(refine, delta, 0.0)
 
 
 @functools.partial(
@@ -652,7 +660,8 @@ def asw_disparity_batch(imgs1, imgs2, win_size=35, max_disp=16, min_disp=0,
                         gamma_c=5.0, gamma_p=17.5, consistent=False,
                         interpret=None, row_valid=None, step=1,
                         subpixel=False):
-    """Batched :func:`asw_disparity`: (B, H, W, 3) pairs -> (B, H, W) i16.
+    """Batched :func:`asw_disparity`: (B, H, W, 3) pairs -> (B, H, W)
+    int16 (float32 when ``subpixel``).
 
     The whole stack runs as ONE kernel launch — the frame axis is a
     leading Pallas grid dimension, so per-call dispatch latency (~20 ms

@@ -149,10 +149,14 @@ def test_asw_subpixel_on_hardware(tpu_ok, rng):
     from simplestereo_tpu.passive import asw_disparity
     img1 = rng.integers(0, 256, (24, 48, 3), np.uint8)
     img2 = np.roll(img1, -3, axis=1)
-    kw = dict(win_size=9, max_disp=6, consistent=True)
-    di = np.asarray(asw_disparity(img1, img2, **kw))
-    ds = np.asarray(asw_disparity(img1, img2, subpixel=True, **kw))
-    assert ds.dtype == np.float32
-    assert np.abs(ds - di).max() <= 0.5 + 1e-6
-    inner = ds[8:-8, 12:-12]
-    assert (np.abs(inner - 3) <= 0.5).mean() > 0.9
+    # max_disp=6 covers the unrolled path, 20 the D>16 fori one-hot path
+    # (dynamically-indexed ref reads inside fori — the pattern class
+    # CLAUDE.md says must be probed on hardware, interpret mode hides it)
+    for maxd in (6, 20):
+        kw = dict(win_size=9, max_disp=maxd, consistent=True)
+        di = np.asarray(asw_disparity(img1, img2, **kw))
+        ds = np.asarray(asw_disparity(img1, img2, subpixel=True, **kw))
+        assert ds.dtype == np.float32
+        assert np.abs(ds - di).max() <= 0.5 + 1e-6
+        inner = ds[8:-8, 12:-12]
+        assert (np.abs(inner - 3) <= 0.5).mean() > 0.9
