@@ -25,15 +25,17 @@ H, W = 96, 128
 
 
 def make_camera(shift):
-    """Synthetic camera: drifting random scene, BGR uint8."""
+    """Synthetic camera viewing a static scene from a shifted viewpoint.
+
+    (The two Captures' grab threads are free-running, so a time-varying
+    scene would de-synchronize the pair — real rigs hardware-trigger
+    both sensors; a static scene keeps this demo's correspondence exact.)
+    """
     rng = np.random.default_rng(0)
-    base = rng.integers(0, 256, (H, W + 16, 3), np.uint8)
-    state = {"t": 0}
+    base = rng.integers(0, 256, (H, W + 32, 3), np.uint8)
 
     def read():
-        state["t"] += 1
-        x = state["t"] % 16
-        return np.ascontiguousarray(base[:, x + shift: x + shift + W])
+        return np.ascontiguousarray(base[:, shift: shift + W])
 
     return read
 
@@ -50,8 +52,9 @@ def wait_frame(cap, timeout=5.0):
 
 matcher = ss.passive.StereoASW(winSize=9, maxDisparity=8, consistent=True)
 
-with ss.utils.Capture(make_camera(4)) as capL, \
-        ss.utils.Capture(make_camera(0)) as capR:
+# left(x) = right(x - d) with d = shiftR - shiftL = 4
+with ss.utils.Capture(make_camera(0)) as capL, \
+        ss.utils.Capture(make_camera(4)) as capR:
     for b in range(N_BATCHES):
         lefts, rights = [], []
         while len(lefts) < BATCH:
@@ -64,5 +67,6 @@ with ss.utils.Capture(make_camera(4)) as capL, \
         print(f"batch {b}: {BATCH} frames in {dt*1e3:.1f} ms "
               f"({dt/BATCH*1e3:.1f} ms/frame), "
               f"disparity==4 on {frac4:.0%} of pixels")
+        assert frac4 > 0.8, "matching broke"
 
 print("done")

@@ -342,3 +342,30 @@ class StereoGSW:
             iterations=self.iterations, consistent=self.consistent,
             cost_method=self.costMethod, bins=self.bins,
             mi_iterations=self.miIterations))
+
+    def computeBatch(self, imgs1, imgs2):
+        """Batched :meth:`compute`: (B, H, W, 3) stacks -> (B, H, W).
+
+        One device program for the stack (the GSW pipeline is pure
+        jnp/fori — no Pallas call — so the batch vmaps cleanly and the
+        per-call dispatch latency is paid once). API symmetry with
+        StereoASW/StereoSGM batching; matches per-frame output.
+        """
+        import functools
+        import jax
+
+        imgs1 = np.ascontiguousarray(imgs1)
+        imgs2 = np.ascontiguousarray(imgs2)
+        if imgs1.ndim != 4 or imgs1.shape[3] != 3 \
+                or imgs1.shape != imgs2.shape:
+            raise ValueError(
+                "Batches must be (B, H, W, 3) BGR with identical shapes!")
+        fn = functools.partial(
+            gsw_disparity, win_size=self.winSize,
+            max_disp=self.maxDisparity, min_disp=self.minDisparity,
+            gamma=float(self.gamma), f_max=float(self.fMax),
+            iterations=self.iterations, consistent=self.consistent,
+            cost_method=self.costMethod, bins=self.bins,
+            mi_iterations=self.miIterations)
+        return np.asarray(jax.vmap(fn)(jnp.asarray(imgs1),
+                                       jnp.asarray(imgs2)))

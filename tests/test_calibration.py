@@ -215,21 +215,30 @@ def test_sharded_ba_matches_truth(synth):
 
 @pytest.mark.slow
 def test_chessboard_detection_other_suites(ref_res):
-    """Robustness across the reference's other two real 1280x720
-    calibration suites (res/1: 37 pairs, res/new: 13 pairs)."""
+    """Robustness on the reference's second real 1280x720 calibration
+    suite (res/1/calib: 37 pairs) AND no false positives on non-board
+    scenes: res/new holds example-002's arbitrary capture dumps (indoor
+    scene shots, no chessboard) — the detector must reject every one,
+    not hallucinate a lattice."""
     import glob
     from simplestereo_tpu.imgio import imread
     from simplestereo_tpu.calibration.chessboard import \
         find_chessboard_corners
 
-    for suite in ("1/calib", "new"):
-        files = sorted(glob.glob(str(ref_res / suite / "*_L.png")))[:8]
-        assert files, suite
-        found = 0
-        for f in files:
-            ok, corners = find_chessboard_corners(
-                imread(f, grayscale=True), (7, 6))
-            if ok:
-                assert corners.shape == (42, 2)
-                found += 1
-        assert found == len(files), f"{suite}: {found}/{len(files)}"
+    files = sorted(glob.glob(str(ref_res / "1/calib" / "*_L.png")))[:8]
+    assert files
+    found = 0
+    for f in files:
+        ok, corners = find_chessboard_corners(
+            imread(f, grayscale=True), (7, 6))
+        if ok:
+            assert corners.shape == (42, 2)
+            found += 1
+    assert found == len(files), f"1/calib: {found}/{len(files)}"
+
+    scenes = sorted(glob.glob(str(ref_res / "new" / "*_L.png")))[:8]
+    assert scenes
+    false_pos = sum(
+        find_chessboard_corners(imread(f, grayscale=True), (7, 6))[0]
+        for f in scenes)
+    assert false_pos == 0, f"new (no boards): {false_pos} false positives"

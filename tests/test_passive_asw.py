@@ -449,3 +449,17 @@ def test_subpixel_batch_matches_single(rng):
     for i in range(2):
         np.testing.assert_array_equal(
             batch[i], np.asarray(asw_disparity(imgs1[i], imgs2[i], **kw)))
+
+
+def test_gsw_compute_batch_matches_single(rng):
+    from simplestereo_tpu.passive import StereoGSW
+    imgs1 = rng.integers(0, 256, (2, 16, 24, 3), np.uint8)
+    imgs2 = np.roll(imgs1, -2, axis=2)
+    m = StereoGSW(winSize=5, maxDisparity=4, iterations=2, consistent=True)
+    batch = m.computeBatch(imgs1, imgs2)
+    assert batch.shape == (2, 16, 24) and batch.dtype == np.int16
+    for i in range(2):
+        np.testing.assert_array_equal(
+            batch[i], m.compute(imgs1[i], imgs2[i]))
+    with pytest.raises(ValueError):
+        m.computeBatch(imgs1[0], imgs2[0])
