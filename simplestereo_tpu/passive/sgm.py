@@ -69,10 +69,19 @@ def _bt_cost(ref, tgt, min_disp, num_disp):
     r_max = jnp.maximum(jnp.maximum(ref_m, ref_p), ref)
 
     def shift(a, d):
+        # Column shift by d with edge fill; off-image candidates are
+        # masked to invalid in _sgm_post, so the fill only needs to keep
+        # shapes static for any d (|d| may exceed W, minDisparity may be
+        # negative — cv2.StereoSGBM accepts both).
         if d == 0:
             return a
+        if d > 0:
+            d = min(d, W)
+            return jnp.concatenate(
+                [jnp.broadcast_to(a[:, :1], (H, d)), a[:, :W - d]], axis=1)
+        d = min(-d, W)
         return jnp.concatenate(
-            [jnp.broadcast_to(a[:, :1], (H, d)), a[:, :-d]], axis=1)
+            [a[:, d:], jnp.broadcast_to(a[:, -1:], (H, d))], axis=1)
 
     costs = []
     for dd in range(num_disp):
@@ -237,10 +246,11 @@ def _sgm_post(S, *, min_disp, num_disp, uniqueness, disp12_max_diff,
               subpixel):
     """WTA + uniqueness + subpixel + LR check on one frame's path sum."""
     H, W = S.shape[:2]
-    # Mask candidates whose target column x - d falls outside the image.
+    # Mask candidates whose target column x - d falls outside the image
+    # (both ends: d > x for positive d, x - d > W-1 for negative d).
     xs = jnp.arange(W)[None, :, None]
     ds = (jnp.arange(num_disp) + min_disp)[None, None, :]
-    S = jnp.where(xs - ds >= 0, S, jnp.inf)
+    S = jnp.where((xs - ds >= 0) & (xs - ds <= W - 1), S, jnp.inf)
 
     best = jnp.argmin(S, axis=-1)
     s_best = jnp.min(S, axis=-1)

@@ -1,0 +1,94 @@
+"""Property tests: matcher invariants over randomized shapes/params.
+
+Complements the parity suites: for any accepted configuration the
+matchers must return the right shape/dtype and disparities inside the
+candidate range (or the documented fill semantics) — no NaNs, no
+out-of-range values, no shape errors at odd sizes.
+"""
+
+import numpy as np
+import pytest
+
+from simplestereo_tpu.passive import StereoASW, StereoSGM, StereoGSW
+
+
+def _pair(rng, h, w):
+    img1 = rng.integers(0, 256, (h, w, 3), np.uint8)
+    img2 = np.roll(img1, -min(2, w // 4), axis=1)
+    return img1, img2
+
+
+CASES = [
+    # (h, w, winSize, minD, maxD, consistent, step)
+    (9, 17, 1, 0, 3, False, 1),      # win=1 degenerate window
+    (8, 16, 3, 0, 2, True, 1),
+    (23, 31, 5, -2, 3, False, 1),    # negative minDisparity
+    (16, 130, 7, 1, 5, True, 2),     # W just past one lane tile
+    (12, 20, 9, 2, 2, False, 1),     # single-candidate range (D=1)
+    (25, 33, 5, 0, 18, True, 1),     # D>16 fori path
+]
+
+
+@pytest.mark.parametrize("h,w,win,mind,maxd,cons,step", CASES)
+def test_asw_invariants(rng, h, w, win, mind, maxd, cons, step):
+    img1, img2 = _pair(rng, h, w)
+    m = StereoASW(winSize=win, maxDisparity=maxd, minDisparity=mind,
+                  consistent=cons, step=step)
+    out = m.compute(img1, img2)
+    assert out.shape == (h, w) and out.dtype == np.int16
+    assert np.isfinite(out.astype(np.float64)).all()
+    # range: candidates plus the documented empty-range fill (x - 0 for
+    # x < minD) and the -1 marker on fully-invalid consistent rows
+    lo = min(mind, -1 if cons else 0, 0)
+    assert out.min() >= lo and out.max() <= max(maxd, w - 1)
+
+    sub = np.asarray(m.compute(img1, img2)) if not cons else None
+    m2 = StereoASW(winSize=win, maxDisparity=maxd, minDisparity=mind,
+                   consistent=cons, step=step, subpixel=True)
+    s = m2.compute(img1, img2)
+    assert s.dtype == np.float32
+    assert np.abs(s - out).max() <= 0.5 + 1e-6
+
+
+@pytest.mark.parametrize("h,w,nd,bs,paths", [
+    (10, 18, 4, 1, 4),      # blockSize=1 (no box sum)
+    (9, 17, 3, 3, 8),       # odd sizes, D=3
+    (16, 129, 8, 5, 8),     # W past a lane tile
+    (8, 12, 16, 3, 4),      # D larger than half the width
+])
+def test_sgm_invariants(rng, h, w, nd, bs, paths):
+    img1, img2 = _pair(rng, h, w)
+    m = StereoSGM(minDisparity=0, numDisparities=nd, blockSize=bs,
+                  paths=paths, disp12MaxDiff=1)
+    out = m.compute(img1, img2)
+    assert out.shape == (h, w) and out.dtype == np.int16
+    valid = out >= 0
+    if valid.any():
+        assert out[valid].max() <= (nd - 1) * 16 + 8  # x16 + subpixel
+    # pallas aggregation agrees in interpret mode
+    out2 = m.compute(img1, img2, aggregator="pallas_interpret")
+    assert (out == out2).mean() > 0.99
+
+
+def test_sgm_negative_min_disparity(rng):
+    """cv2.StereoSGBM accepts minDisparity < 0; candidates past either
+    image edge must be masked, not wrapped."""
+    img1, img2 = _pair(rng, 14, 22)
+    m = StereoSGM(minDisparity=-4, numDisparities=8, blockSize=3,
+                  paths=8, disp12MaxDiff=1)
+    out = m.compute(img1, img2)
+    assert out.shape == (14, 22) and out.dtype == np.int16
+    valid = out > (-4 - 1) * 16
+    assert valid.any()
+    assert out[valid].min() >= -4 * 16 - 8
+    assert out[valid].max() <= 3 * 16 + 8
+
+
+@pytest.mark.parametrize("h,w,win,maxd", [
+    (8, 14, 1, 2), (11, 19, 3, 4), (10, 16, 5, 3)])
+def test_gsw_invariants(rng, h, w, win, maxd):
+    img1, img2 = _pair(rng, h, w)
+    m = StereoGSW(winSize=win, maxDisparity=maxd, iterations=1)
+    out = m.compute(img1, img2)
+    assert out.shape == (h, w) and out.dtype == np.int16
+    assert out.min() >= 0 and out.max() <= max(maxd, w - 1)
