@@ -120,10 +120,12 @@ def main():
     try:
         from simplestereo_tpu.passive.sgm import StereoSGM
 
-        # Tuned Tsukuba operating point (small-window SGM; the uniqueness
-        # test off keeps the nonocc evaluation dense): bad-2.0 3.1%.
+        # Tuned Tsukuba operating point (census cost, uniqueness test off
+        # keeps the nonocc evaluation dense): bad-2.0 2.7% (the tuned BT
+        # point P1=36 P2=144 pfcap=15 scores 3.1%).
         sgm = StereoSGM(minDisparity=0, numDisparities=16, blockSize=3,
-                        P1=36, P2=144, preFilterCap=15, uniquenessRatio=0)
+                        P1=120, P2=480, uniquenessRatio=0,
+                        costMethod="census", censusWindow=7)
         sgm.compute(left, rightd)  # compile
         times = []
         for x in lefts:

@@ -58,6 +58,9 @@ def tsukuba(ref_res):
     }
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped on purpose: a shared session stream makes each
+    # test's data depend on which tests ran before it (adding a test
+    # silently reshuffles every later test's inputs).
     return np.random.default_rng(42)

@@ -70,6 +70,54 @@ def test_sgm_invariants(rng, h, w, nd, bs, paths):
     assert (out == out2).mean() > 0.99
 
 
+@pytest.mark.parametrize("method,cw", [
+    ("census", 3), ("census", 5), ("census", 7), ("bt+census", 5)])
+def test_sgm_census_invariants(rng, method, cw):
+    img1, img2 = _pair(rng, 12, 40)
+    m = StereoSGM(minDisparity=0, numDisparities=4, blockSize=3,
+                  paths=4, costMethod=method, censusWindow=cw)
+    out = m.compute(img1, img2)
+    assert out.shape == (12, 40) and out.dtype == np.int16
+    valid = out >= 0
+    assert valid.any() and out[valid].max() <= 3 * 16 + 8
+
+
+def test_sgm_census_radiometric_robustness(rng):
+    """Census matching survives a monotonic radiometric map (gamma +
+    gain) of one camera that breaks the BT-on-Sobel cost."""
+    h, w, shift = 24, 64, 3
+    # Smooth random texture so the gamma map keeps local orderings.
+    base = rng.random((h, w + shift))
+    k = np.ones(5) / 5.0
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, base)
+    base = (base - base.min()) / (base.max() - base.min())
+    # target col = x - d: img1[x] = base[x] = img2[x - shift] -> d = +shift
+    img1 = (base[:, :-shift] * 255).astype(np.uint8)
+    img2g = (base[:, shift:] ** 2.2) * 140 + 40  # gamma 2.2, gain+offset
+    img2 = img2g.astype(np.uint8)
+    img1 = np.repeat(img1[..., None], 3, axis=2)
+    img2 = np.repeat(img2[..., None], 3, axis=2)
+
+    inner = np.zeros((h, w), bool)
+    inner[4:-4, 10:-10] = True
+
+    def frac_correct(m):
+        d = m.compute(img1, img2)
+        return ((np.round(d / 16.0) == shift) & inner).sum() / inner.sum()
+
+    census = frac_correct(StereoSGM(
+        minDisparity=0, numDisparities=8, blockSize=3, P1=56, P2=224,
+        uniquenessRatio=0, paths=8, costMethod="census"))
+    assert census > 0.9, census
+
+
+def test_sgm_cost_method_validation():
+    with pytest.raises(ValueError):
+        StereoSGM(costMethod="sad")
+    with pytest.raises(ValueError):
+        StereoSGM(costMethod="census", censusWindow=4)
+
+
 def test_sgm_negative_min_disparity(rng):
     """cv2.StereoSGBM accepts minDisparity < 0; candidates past either
     image edge must be masked, not wrapped."""
