@@ -63,12 +63,17 @@ def main():
     D = kw["max_disp"] - kw["min_disp"] + 1
     mpixdisp = H * W * D / dt / 1e6
 
+    from simplestereo_tpu.evaluation import evaluate_disparity, tsukuba_scale
+
+    def bad2(disp_map):
+        return round(evaluate_disparity(
+            disp_map, gt, nonocc > 0, bad_thresholds=(2.0,),
+            gt_scale=tsukuba_scale)["bad2"], 4)
+
     extra = {}
     if gt is not None:
         disp0 = np.asarray(asw_disparity(jnp.asarray(left), rightd, **kw))
-        mask = nonocc > 0
-        bad = (np.abs(disp0 - gt.astype(np.float32) / 16.0) > 2.0) & mask
-        extra["bad2_nonocc"] = round(float(bad.sum() / mask.sum()), 4)
+        extra["bad2_nonocc"] = bad2(disp0)
 
     # Secondary metric: the subsampled-window scan (step=2) — the mode the
     # reference proposed as "40-50% faster" but never implemented.
@@ -83,9 +88,7 @@ def main():
     if gt is not None:
         d2 = np.asarray(asw_disparity(jnp.asarray(left), rightd, step=2,
                                       **kw))
-        bad2s = (np.abs(d2 - gt.astype(np.float32) / 16.0) > 2.0) & mask
-        extra["asw_step2_bad2_nonocc"] = round(
-            float(bad2s.sum() / mask.sum()), 4)
+        extra["asw_step2_bad2_nonocc"] = bad2(d2)
 
     # Secondary metric: the batched ASW pipeline (frame axis folded into
     # the Pallas kernel grid) — amortizes the ~20-30 ms per-dispatch
@@ -135,10 +138,11 @@ def main():
         dts = float(np.median(times))
         extra["sgm_mpixdisp_per_s"] = round(H * W * 16 / dts / 1e6, 2)
         if gt is not None:
-            dsg = sgm.compute(left, rightd).astype(np.float32) / 16.0
-            badsg = (np.abs(dsg - gt.astype(np.float32) / 16.0) > 2.0) & mask
-            extra["sgm_bad2_nonocc"] = round(
-                float(badsg.sum() / mask.sum()), 4)
+            dsg = sgm.compute(left, rightd)
+            extra["sgm_bad2_nonocc"] = round(evaluate_disparity(
+                dsg, gt, nonocc > 0, bad_thresholds=(2.0,),
+                disp_scale=1 / 16.0,
+                gt_scale=tsukuba_scale)["bad2"], 4)
 
         # Batched SGM (frame axis on the Pallas kernel grid): dispatch
         # paid once per stack; device-resident varying inputs as above.

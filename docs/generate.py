@@ -42,6 +42,7 @@ MODULES = [
     "simplestereo_tpu.parallel",
     "simplestereo_tpu.v4l2",
     "simplestereo_tpu.profiling",
+    "simplestereo_tpu.evaluation",
     "simplestereo_tpu.geometry.projection",
     "simplestereo_tpu.geometry.distortion",
     "simplestereo_tpu.geometry.npgeom",

@@ -1,26 +1,32 @@
 """ASW vs SGM on the Tsukuba pair with ground-truth evaluation
-(cf. reference examples/010)."""
+(cf. reference examples/010, which ships the ground truth but only
+visualizes; metrics here come from ss.evaluation)."""
 
 import numpy as np
 
 import simplestereo_tpu as ss
+from simplestereo_tpu.evaluation import evaluate_disparity, tsukuba_scale
 from simplestereo_tpu.imgio import imread, imwrite
 
 RES = "/root/reference/examples/res/tsukuba/"
 img1 = imread(RES + "tsukuba_l.png")
 img2 = imread(RES + "tsukuba_r.png")
-gt = imread(RES + "groundtruth.png", grayscale=True).astype(np.float32) / 16
+gt = imread(RES + "groundtruth.png", grayscale=True)
 nonocc = imread(RES + "nonocc.png", grayscale=True) > 0
 
 asw = ss.passive.StereoASW(winSize=35, minDisparity=4, maxDisparity=14,
                            gammaC=15, gammaP=17.5, consistent=True)
-dispASW = asw.compute(img1, img2).astype(np.float32)
+dispASW = asw.compute(img1, img2)
 
 sgm = ss.passive.StereoSGM(minDisparity=4, numDisparities=10, blockSize=11)
-dispSGM = sgm.compute(img1, img2).astype(np.float32) / 16
+dispSGM = sgm.compute(img1, img2)
 
-for name, disp in (("ASW", dispASW), ("SGM", dispSGM)):
-    bad = (np.abs(disp - gt) > 2.0) & nonocc
-    print(f"{name}: bad-2.0 = {bad.sum() / nonocc.sum():.2%}")
-    vis = (disp - disp.min()) / max(np.ptp(disp), 1) * 255
+for name, disp, scale in (("ASW", dispASW, 1.0),
+                          ("SGM", dispSGM, 1 / 16.0)):
+    r = evaluate_disparity(disp, gt, nonocc, disp_scale=scale,
+                           gt_scale=tsukuba_scale)
+    print(f"{name}: bad-2.0 = {r['bad2']:.2%}  avgerr = {r['avgerr']:.2f}px"
+          f"  rms = {r['rms']:.2f}px  density = {r['density']:.2%}")
+    d = np.asarray(disp, np.float32) * scale
+    vis = (d - d.min()) / max(np.ptp(d), 1) * 255
     imwrite(f"tsukuba_{name.lower()}.png", vis.astype(np.uint8))

@@ -41,6 +41,7 @@ from . import points
 from . import parallel
 from . import utils
 from . import profiling
+from . import evaluation
 
 __all__ = [
     "StereoRig",
@@ -58,4 +59,5 @@ __all__ = [
     "parallel",
     "utils",
     "profiling",
+    "evaluation",
 ]

@@ -143,6 +143,19 @@ def test_sgm_pallas_aggregation_on_hardware(tpu_ok, rng):
     assert (batch[0] == b).mean() > 0.999
 
 
+def test_sgm_census_cost_on_hardware(tpu_ok, rng):
+    """Census cost (uint32 bit-packing + lax.population_count) must lower
+    and recover a known shift on the real chip."""
+    from simplestereo_tpu.passive import StereoSGM
+    img1 = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    m = StereoSGM(minDisparity=0, numDisparities=8, blockSize=3,
+                  P1=56, P2=224, costMethod="census", censusWindow=7)
+    d = np.asarray(m.compute(img1, img2))
+    inner = np.round(d[8:-8, 12:-12] / 16.0)
+    assert (inner == 3).mean() > 0.9
+
+
 def test_asw_subpixel_on_hardware(tpu_ok, rng):
     """Subpixel output path (one-hot neighbor-cost extraction + extra f32
     kernel output) must lower and bound deltas on the real chip."""
