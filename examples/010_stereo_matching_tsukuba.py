@@ -21,10 +21,11 @@ dispASW = asw.compute(img1, img2)
 sgm = ss.passive.StereoSGM(minDisparity=4, numDisparities=10, blockSize=11)
 dispSGM = sgm.compute(img1, img2)
 
-for name, disp, scale in (("ASW", dispASW, 1.0),
-                          ("SGM", dispSGM, 1 / 16.0)):
+# Invalid markers: consistent ASW leaves -1, SGM (minDisparity - 1) * 16.
+for name, disp, scale, inval in (("ASW", dispASW, 1.0, -1),
+                                 ("SGM", dispSGM, 1 / 16.0, 3 * 16)):
     r = evaluate_disparity(disp, gt, nonocc, disp_scale=scale,
-                           gt_scale=tsukuba_scale)
+                           invalid=inval, gt_scale=tsukuba_scale)
     print(f"{name}: bad-2.0 = {r['bad2']:.2%}  avgerr = {r['avgerr']:.2f}px"
           f"  rms = {r['rms']:.2f}px  density = {r['density']:.2%}")
     d = np.asarray(disp, np.float32) * scale

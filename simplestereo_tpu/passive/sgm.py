@@ -351,7 +351,9 @@ def _sgm_post(S, *, min_disp, num_disp, uniqueness, disp12_max_diff,
         cols = jnp.clip(xs + ds, 0, W - 1)        # (1, W, D)
         S_r = jnp.take_along_axis(
             S, jnp.broadcast_to(cols, (H, W, num_disp)), axis=1)
-        S_r = jnp.where(xs + ds <= W - 1, S_r, jnp.inf)
+        # Mask right-view candidates whose left column xr + d is off-image
+        # at either end (xr + d < 0 happens with negative minDisparity).
+        S_r = jnp.where((xs + ds >= 0) & (xs + ds <= W - 1), S_r, jnp.inf)
         disp_r = jnp.argmin(S_r, axis=-1) + min_disp        # (H, W)
         match_col = jnp.clip(
             jnp.arange(W)[None, :] - (best + min_disp), 0, W - 1)

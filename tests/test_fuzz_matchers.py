@@ -42,7 +42,8 @@ def test_asw_invariants(rng, h, w, win, mind, maxd, cons, step):
     lo = min(mind, -1 if cons else 0, 0)
     assert out.min() >= lo and out.max() <= max(maxd, w - 1)
 
-    sub = np.asarray(m.compute(img1, img2)) if not cons else None
+    # repeat-call determinism
+    assert np.array_equal(np.asarray(m.compute(img1, img2)), out)
     m2 = StereoASW(winSize=win, maxDisparity=maxd, minDisparity=mind,
                    consistent=cons, step=step, subpixel=True)
     s = m2.compute(img1, img2)
@@ -82,9 +83,31 @@ def test_sgm_census_invariants(rng, method, cw):
     assert valid.any() and out[valid].max() <= 3 * 16 + 8
 
 
+def test_census_cost_monotonic_invariance(rng):
+    """The census cost volume is BIT-EXACTLY invariant to any strictly
+    increasing intensity remap of either camera (all > comparisons
+    inside the window are preserved); the BT cost is not. This pins both
+    the invariance property and that costMethod dispatch actually
+    switches costs."""
+    from simplestereo_tpu.passive.sgm import _bt_cost, _census_cost
+
+    g1 = rng.integers(0, 200, (16, 24)).astype(np.float32)
+    g2 = np.roll(g1, -2, axis=1)
+    # strictly increasing remap: gamma + gain + offset
+    m2 = (g2 / 200.0) ** 2.2 * 120.0 + 30.0
+    c_a = np.asarray(_census_cost(g1, g2, 0, 4, 5))
+    c_b = np.asarray(_census_cost(g1, m2, 0, 4, 5))
+    np.testing.assert_array_equal(c_a, c_b)
+    b_a = np.asarray(_bt_cost(g1, g2, 0, 4))
+    b_b = np.asarray(_bt_cost(g1, m2, 0, 4))
+    assert not np.array_equal(b_a, b_b)
+    # census cost range: integral Hamming distances in [0, 24]
+    assert c_a.min() >= 0 and c_a.max() <= 24
+
+
 def test_sgm_census_radiometric_robustness(rng):
-    """Census matching survives a monotonic radiometric map (gamma +
-    gain) of one camera that breaks the BT-on-Sobel cost."""
+    """End-to-end: census matching recovers the shift through a
+    monotonic radiometric map (gamma + gain) of one camera."""
     h, w, shift = 24, 64, 3
     # Smooth random texture so the gamma map keeps local orderings.
     base = rng.random((h, w + shift))
@@ -130,6 +153,13 @@ def test_sgm_negative_min_disparity(rng):
     assert valid.any()
     assert out[valid].min() >= -4 * 16 - 8
     assert out[valid].max() <= 3 * 16 + 8
+
+    # target col = x - d: img2 = img1 rolled right by 2 -> true d = -2;
+    # the LR check must not invalidate it (both edges masked in disp_r).
+    img3 = np.roll(img1, 2, axis=1)
+    d = m.compute(img1, img3)
+    inner = np.round(d[3:-3, 6:-6] / 16.0)
+    assert (inner == -2).mean() > 0.9
 
 
 @pytest.mark.parametrize("h,w,win,maxd", [
