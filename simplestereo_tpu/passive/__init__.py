@@ -20,6 +20,7 @@ from .lab import bgr_to_lab
 from .asw_ref import asw_disparity_ref, occlusion_fill
 from .asw_pallas import asw_disparity, asw_disparity_batch
 from .sgm import StereoSGM, StereoSGBM_create, filter_speckles
+from .postfilter import median_disparity
 from .gsw import StereoGSW, gsw_disparity
 
 
@@ -134,4 +135,5 @@ __all__ = [
     "gsw_disparity",
     "StereoSGBM_create",
     "filter_speckles",
+    "median_disparity",
 ]

@@ -162,6 +162,31 @@ def test_sgm_negative_min_disparity(rng):
     assert (inner == -2).mean() > 0.9
 
 
+@pytest.mark.parametrize("size", [1, 3, 5])
+def test_median_disparity_matches_scipy(rng, size):
+    from scipy.ndimage import median_filter
+    from simplestereo_tpu.passive import median_disparity
+    d = rng.integers(-16, 300, (13, 21)).astype(np.int16)
+    out = median_disparity(d, size)
+    assert out.dtype == np.int16 and out.shape == d.shape
+    np.testing.assert_array_equal(out, median_filter(d, size, mode="nearest"))
+    # batched = per-frame
+    batch = median_disparity(np.stack([d, d[::-1]]), size)
+    np.testing.assert_array_equal(batch[0], out)
+
+
+def test_median_disparity_removes_isolated_invalids(rng):
+    from simplestereo_tpu.passive import median_disparity
+    d = np.full((9, 9), 7, np.int16)
+    d[4, 4] = -16  # isolated invalid marker
+    out = median_disparity(d, 3)
+    assert (out == 7).all()
+    with pytest.raises(ValueError):
+        median_disparity(d, 4)
+    with pytest.raises(ValueError):
+        median_disparity(d[None, None], 3)
+
+
 @pytest.mark.parametrize("h,w,win,maxd", [
     (8, 14, 1, 2), (11, 19, 3, 4), (10, 16, 5, 3)])
 def test_gsw_invariants(rng, h, w, win, maxd):
