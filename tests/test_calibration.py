@@ -179,6 +179,40 @@ def test_full_suite_golden_parity(ref_res):
     assert np.abs(T - np.array(gold["T"])).max() < 1.0
 
 
+@pytest.mark.slow
+def test_full_suite_golden_parity_res2(ref_res):
+    """Second committed golden rig: the 37-pair res/2 suite. All pairs
+    must detect and the calibration must land on the reference's
+    committed rig.json (measured: RMS 0.211 vs golden 0.207, K1 within
+    1.5 px, R within 4e-4, T within 0.04 mm)."""
+    import json
+    from simplestereo_tpu.imgio import imread
+    from simplestereo_tpu.calibration import find_chessboard_corners
+
+    xx, yy = np.meshgrid(np.arange(7), np.arange(6))
+    obj = np.stack([xx.ravel() * 60.5, yy.ravel() * 60.5, np.zeros(42)], 1)
+    objs, im1, im2 = [], [], []
+    for i in range(37):
+        gl = imread(str(ref_res / "2" / "calib" / f"{i}_L.png"),
+                    grayscale=True)
+        gr = imread(str(ref_res / "2" / "calib" / f"{i}_R.png"),
+                    grayscale=True)
+        fl, cl = find_chessboard_corners(gl, (7, 6))
+        fr, cr = find_chessboard_corners(gr, (7, 6))
+        if fl and fr:
+            objs.append(obj)
+            im1.append(cl)
+            im2.append(cr)
+    assert len(objs) == 37
+    rms, K1, d1, K2, d2, R, T, E, F, _ = ba.stereo_calibrate(
+        objs, im1, im2, (1280, 720))
+    gold = json.load(open(ref_res / "2" / "rig.json"))
+    assert rms < gold["reprojectionError"] * 1.1
+    assert np.abs(K1 - np.array(gold["intrinsic1"])).max() < 10
+    assert np.abs(R - np.array(gold["R"])).max() < 1e-3
+    assert np.abs(T - np.array(gold["T"])).max() < 1.0
+
+
 def test_sharded_ba_matches_truth(synth):
     """Distributed Schur-complement GN on the 8-device mesh."""
     from simplestereo_tpu.calibration.sharded import calibrate_camera_sharded
@@ -216,16 +250,17 @@ def test_sharded_ba_matches_truth(synth):
 @pytest.mark.slow
 def test_chessboard_detection_other_suites(ref_res):
     """Robustness on the reference's second real 1280x720 calibration
-    suite (res/1/calib: 37 pairs) AND no false positives on non-board
-    scenes: res/new holds example-002's arbitrary capture dumps (indoor
-    scene shots, no chessboard) — the detector must reject every one,
-    not hallucinate a lattice."""
+    suite (res/2/calib: 37 pairs — res/1 is covered by the golden-parity
+    test) AND no false positives on non-board scenes: res/new holds
+    example-002's arbitrary capture dumps (indoor scene shots, no
+    chessboard) — the detector must reject every one, not hallucinate a
+    lattice."""
     import glob
     from simplestereo_tpu.imgio import imread
     from simplestereo_tpu.calibration.chessboard import \
         find_chessboard_corners
 
-    files = sorted(glob.glob(str(ref_res / "1/calib" / "*_L.png")))[:8]
+    files = sorted(glob.glob(str(ref_res / "2/calib" / "*_L.png")))[:8]
     assert files
     found = 0
     for f in files:
@@ -234,7 +269,7 @@ def test_chessboard_detection_other_suites(ref_res):
         if ok:
             assert corners.shape == (42, 2)
             found += 1
-    assert found == len(files), f"1/calib: {found}/{len(files)}"
+    assert found == len(files), f"2/calib: {found}/{len(files)}"
 
     scenes = sorted(glob.glob(str(ref_res / "new" / "*_L.png")))[:8]
     assert scenes
