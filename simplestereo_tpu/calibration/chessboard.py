@@ -122,36 +122,46 @@ def corner_subpix(gray, corners, win_size=(11, 11), max_iter=100, eps=1e-6):
     wmask = np.exp(-(xs ** 2 / (2.0 * (wx * 0.5) ** 2)
                      + ys ** 2 / (2.0 * (wy * 0.5) ** 2)))
 
-    out = []
-    for cx, cy in np.asarray(corners, np.float64):
-        q = np.array([cx, cy])
-        for _ in range(max_iter):
-            ix = int(round(q[0]))
-            iy = int(round(q[1]))
-            if (ix - wx - 1 < 0 or ix + wx + 1 >= W
-                    or iy - wy - 1 < 0 or iy + wy + 1 >= H):
-                break
-            sub_gx = gx[iy - wy:iy + wy + 1, ix - wx:ix + wx + 1]
-            sub_gy = gy[iy - wy:iy + wy + 1, ix - wx:ix + wx + 1]
-            gxx = (wmask * sub_gx * sub_gx).sum()
-            gxy = (wmask * sub_gx * sub_gy).sum()
-            gyy = (wmask * sub_gy * sub_gy).sum()
-            px = xs + ix
-            py = ys + iy
-            bx = (wmask * (sub_gx * sub_gx * px + sub_gx * sub_gy * py)).sum()
-            by = (wmask * (sub_gx * sub_gy * px + sub_gy * sub_gy * py)).sum()
-            det = gxx * gyy - gxy * gxy
-            if abs(det) < 1e-12:
-                break
-            q_new = np.array([
-                (gyy * bx - gxy * by) / det,
-                (gxx * by - gxy * bx) / det])
-            if np.linalg.norm(q_new - q) < eps:
-                q = q_new
-                break
-            q = q_new
-        out.append(q)
-    return np.asarray(out)
+    # All corners iterate together (their updates are independent, so
+    # the vectorized trajectories equal the per-corner loop's); `active`
+    # tracks the not-yet-converged set. This is a hot path: detection
+    # refines every NMS candidate (hundreds) before lattice growth.
+    q = np.asarray(corners, np.float64).copy()
+    N = len(q)
+    active = np.ones(N, bool)
+    for _ in range(max_iter):
+        idx = np.nonzero(active)[0]
+        if len(idx) == 0:
+            break
+        ix = np.rint(q[idx, 0]).astype(np.int64)
+        iy = np.rint(q[idx, 1]).astype(np.int64)
+        inb = ((ix - wx - 1 >= 0) & (ix + wx + 1 < W)
+               & (iy - wy - 1 >= 0) & (iy + wy + 1 < H))
+        active[idx[~inb]] = False    # out of bounds: keep current q
+        idx, ix, iy = idx[inb], ix[inb], iy[inb]
+        if len(idx) == 0:
+            break
+        rows = iy[:, None, None] + ys
+        cols = ix[:, None, None] + xs
+        sgx = gx[rows, cols]
+        sgy = gy[rows, cols]
+        gxx = (wmask * sgx * sgx).sum(axis=(1, 2))
+        gxy = (wmask * sgx * sgy).sum(axis=(1, 2))
+        gyy = (wmask * sgy * sgy).sum(axis=(1, 2))
+        px = xs + ix[:, None, None]
+        py = ys + iy[:, None, None]
+        bx = (wmask * (sgx * sgx * px + sgx * sgy * py)).sum(axis=(1, 2))
+        by = (wmask * (sgx * sgy * px + sgy * sgy * py)).sum(axis=(1, 2))
+        det = gxx * gyy - gxy * gxy
+        ok = np.abs(det) >= 1e-12
+        active[idx[~ok]] = False     # singular normal matrix: keep q
+        det_safe = np.where(ok, det, 1.0)
+        q_new = np.stack([(gyy * bx - gxy * by) / det_safe,
+                          (gxx * by - gxy * bx) / det_safe], axis=1)
+        moved = np.sqrt(((q_new - q[idx]) ** 2).sum(axis=1))
+        q[idx[ok]] = q_new[ok]
+        active[idx[ok & (moved < eps)]] = False
+    return q
 
 
 # --------------------------------------------------------------------------
