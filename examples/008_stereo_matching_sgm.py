@@ -11,9 +11,15 @@ rigRect = ss.RectifiedStereoRig.fromFile(RES + "rigRect.json")
 img1, img2 = rigRect.rectifyImages(
     imread(RES + "lawn_L.png"), imread(RES + "lawn_R.png"))
 
+# costMethod="census" (Hamming on census codes) is invariant to
+# radiometric differences between the two cameras; "bt" (default)
+# mirrors OpenCV's Birchfield-Tomasi-on-Sobel. Retune P1/P2 per cost.
 stereo = ss.passive.StereoSGM(minDisparity=1, numDisparities=96,
-                              blockSize=7)
-disparity = stereo.compute(img1, img2).astype(np.float32) / 16
+                              blockSize=7, costMethod="census",
+                              P1=392, P2=1568)
+raw = stereo.compute(img1, img2)
+# cv2.medianBlur counterpart: knocks down speckle before use.
+disparity = ss.passive.median_disparity(raw, 3).astype(np.float32) / 16
 
 vis = (disparity - disparity.min()) / max(np.ptp(disparity), 1) * 255
 imwrite("disparity_sgm.png", vis.astype(np.uint8))
