@@ -15,8 +15,8 @@ img1, img2 = rigRect.rectifyImages(
 # radiometric differences between the two cameras; "bt" (default)
 # mirrors OpenCV's Birchfield-Tomasi-on-Sobel. Retune P1/P2 per cost.
 stereo = ss.passive.StereoSGM(minDisparity=1, numDisparities=96,
-                              blockSize=7, costMethod="census",
-                              P1=392, P2=1568)
+                              blockSize=3, costMethod="census",
+                              censusWindow=7, P1=120, P2=480)
 raw = stereo.compute(img1, img2)
 # cv2.medianBlur counterpart: knocks down speckle before use.
 disparity = ss.passive.median_disparity(raw, 3).astype(np.float32) / 16

@@ -127,6 +127,8 @@ def corner_subpix(gray, corners, win_size=(11, 11), max_iter=100, eps=1e-6):
     # tracks the not-yet-converged set. This is a hot path: detection
     # refines every NMS candidate (hundreds) before lattice growth.
     q = np.asarray(corners, np.float64).copy()
+    if not np.isfinite(q).all():
+        raise ValueError("corners must be finite!")
     N = len(q)
     active = np.ones(N, bool)
     for _ in range(max_iter):
