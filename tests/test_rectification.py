@@ -61,6 +61,39 @@ class TestDirectRectify:
         assert _epipolar_alignment_error(rigRect, rng) < 0.05
 
 
+def _random_rig(rng):
+    """A plausible random stereo rig: modest relative rotation, mostly-x
+    baseline, distinct intrinsics and small distortion on both cameras."""
+    from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+    f1 = rng.uniform(700, 1500)
+    f2 = f1 * rng.uniform(0.9, 1.1)
+    K1 = np.array([[f1, 0, rng.uniform(600, 680)],
+                   [0, f1 * rng.uniform(0.98, 1.02), rng.uniform(330, 390)],
+                   [0, 0, 1.0]])
+    K2 = np.array([[f2, 0, rng.uniform(600, 680)],
+                   [0, f2 * rng.uniform(0.98, 1.02), rng.uniform(330, 390)],
+                   [0, 0, 1.0]])
+    R = rodrigues_to_matrix(rng.normal(0, 0.06, 3))
+    T = np.array([[-rng.uniform(60, 220)],
+                  [rng.normal(0, 5)], [rng.normal(0, 8)]])
+    d1 = np.r_[rng.normal(0, 0.05, 2), rng.normal(0, 0.002, 2), 0.0]
+    d2 = np.r_[rng.normal(0, 0.05, 2), rng.normal(0, 0.002, 2), 0.0]
+    return ss.StereoRig((1280, 720), (1280, 720), K1, K2, d1, d2, R, T)
+
+
+@pytest.mark.parametrize("algo", ["directRectify", "fusielloRectify",
+                                  "loopRectify"])
+def test_epipolar_alignment_random_rigs(algo, rng):
+    """Property fuzz: every algorithm must rectify randomly generated
+    plausible rigs, not just the committed golden one (directRectify's
+    quartic-root numerics and loopRectify's quadric optimization are the
+    fragile spots, SURVEY hard-parts 7)."""
+    for _ in range(6):
+        rig = _random_rig(rng)
+        rigRect = getattr(ss.rectification, algo)(rig)
+        assert _epipolar_alignment_error(rigRect, rng) < 0.05
+
+
 class TestOtherAlgorithms:
     @pytest.mark.parametrize("algo", ["fusielloRectify", "loopRectify",
                                       "stereoRectify"])
