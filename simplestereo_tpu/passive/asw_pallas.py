@@ -507,13 +507,17 @@ def _finish(dispL, dispR, csub, *, W, min_disp, max_disp, consistent,
         dispR = jnp.where((W - 1 - xs_f) < min_disp, -xs_f, dispR)
 
         # Invalidate left pixels whose right-pass match disagrees; fill.
+        # The reference's -1 marker collides with legal disparities when
+        # min_disp < 0, so the marker becomes min_disp - 1 there (matches
+        # the oracle; reference semantics assume minDisparity >= 0).
+        marker = -1 if min_disp >= 0 else min_disp - 1
         L = jnp.clip(xs_f + dispR, 0, W - 1)
         agree = jnp.take_along_axis(dispL, L, axis=1) == dispR
         disagree = jnp.zeros((H, W), bool)
         disagree = jax.vmap(lambda f, l, a: f.at[l].max(~a))(
             disagree, L, agree)
-        dispI = jnp.where(disagree, -1, dispL)
-        out_i = occlusion_fill(dispI).astype(jnp.int16)
+        dispI = jnp.where(disagree, marker, dispL)
+        out_i = occlusion_fill(dispI, invalid=marker).astype(jnp.int16)
     else:
         out_i = dispL.astype(jnp.int16)
 
@@ -534,13 +538,10 @@ def _finish(dispL, dispR, csub, *, W, min_disp, max_disp, consistent,
     delta = jnp.where(interior & finite & (denom > 1e-6),
                       (cm - cp) / (2.0 * denom), 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
+    # The invalid marker (-1, or min_disp - 1 when min_disp < 0) is
+    # strictly below every legal raw argmin, so marker pixels never
+    # satisfy out_i == raw and stay exactly integer.
     refine = out_i == raw
-    if consistent and min_disp <= -1:
-        # occlusion_fill leaves fully-invalid rows at the -1 marker; with
-        # negative min_disp a raw argmin of -1 is legal and would collide
-        # with it — keep marker rows exactly integer.
-        marker_row = jnp.all(out_i == -1, axis=1, keepdims=True)
-        refine = refine & ~marker_row
     return out_i.astype(jnp.float32) + jnp.where(refine, delta, 0.0)
 
 

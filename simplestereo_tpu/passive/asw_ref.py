@@ -160,15 +160,18 @@ def _argmin_disp(cost, cand_ok, min_disp, fallback):
     return jnp.where(any_ok, best, fallback)
 
 
-def occlusion_fill(disp):
-    """Fill -1 runs per row with min(nearest valid left, nearest valid right).
+def occlusion_fill(disp, invalid=-1):
+    """Fill invalid runs per row with min(nearest valid left/right value).
 
     Border runs take the single available side. Rows with no valid pixel
-    stay -1 (the reference reads out of bounds there, _passive.cpp:272-283;
-    we define it instead). Parity: _passive.cpp:258-285.
+    stay ``invalid`` (the reference reads out of bounds there,
+    _passive.cpp:272-283; we define it instead). Parity:
+    _passive.cpp:258-285 with its -1 marker; ``invalid`` is settable
+    because -1 is a LEGAL disparity when minDisparity < 0 (consistent
+    mode then marks with minDisparity - 1 instead).
     """
     H, W = disp.shape
-    valid = disp >= 0
+    valid = disp != invalid
     xs = jnp.broadcast_to(jnp.arange(W), (H, W))
 
     idx_left = jnp.where(valid, xs, -1)
@@ -186,7 +189,7 @@ def occlusion_fill(disp):
     both = jnp.minimum(left_val, right_val)
     fill = jnp.where(has_left & has_right, both,
                      jnp.where(has_left, left_val,
-                               jnp.where(has_right, right_val, -1)))
+                               jnp.where(has_right, right_val, invalid)))
     return jnp.where(valid, disp, fill)
 
 
@@ -230,12 +233,16 @@ def asw_disparity_ref(img1, img2, win_size=35, max_disp=16, min_disp=0,
     # i.e. matched left column 0 and implied disparity -x.
     dispR = _argmin_disp(costR, okR, min_disp, -jnp.broadcast_to(xs, (H, W)))
 
-    # Invalidate left pixels whose right-pass match disagrees.
+    # Invalidate left pixels whose right-pass match disagrees. The
+    # reference's -1 marker collides with legal disparities when
+    # minDisparity < 0; use minDisparity - 1 there (reference parity is
+    # unaffected: its API semantics assume minDisparity >= 0).
+    marker = -1 if min_disp >= 0 else min_disp - 1
     L = jnp.clip(xs[None, :] + dispR, 0, W - 1)
     agree = jnp.take_along_axis(dispL, L, axis=1) == dispR
     disagree_flag = jnp.zeros((H, W), bool)
     disagree_flag = jax.vmap(
         lambda f, l, a: f.at[l].max(~a))(disagree_flag, L, agree)
-    dispI = jnp.where(disagree_flag, -1, dispL)
+    dispI = jnp.where(disagree_flag, marker, dispL)
 
-    return occlusion_fill(dispI).astype(jnp.int16)
+    return occlusion_fill(dispI, invalid=marker).astype(jnp.int16)

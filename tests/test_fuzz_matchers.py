@@ -26,7 +26,8 @@ CASES = [
     (16, 130, 7, 1, 5, True, 2),     # W just past one lane tile
     (12, 20, 9, 2, 2, False, 1),     # single-candidate range (D=1)
     (25, 33, 5, 0, 18, True, 1),     # D>16 fori path
-]
+    (20, 40, 5, -3, 16, True, 1),    # D>16 fori + negative minDisparity
+]                                    # (the lax.rem costR rotate path)
 
 
 @pytest.mark.parametrize("h,w,win,mind,maxd,cons,step", CASES)
@@ -38,8 +39,10 @@ def test_asw_invariants(rng, h, w, win, mind, maxd, cons, step):
     assert out.shape == (h, w) and out.dtype == np.int16
     assert np.isfinite(out.astype(np.float64)).all()
     # range: candidates plus the documented empty-range fill (x - 0 for
-    # x < minD) and the -1 marker on fully-invalid consistent rows
-    lo = min(mind, -1 if cons else 0, 0)
+    # x < minD) and the invalid marker on fully-invalid consistent rows
+    # (-1, or minD - 1 when minD < 0 — -1 is a legal disparity then)
+    marker = -1 if mind >= 0 else mind - 1
+    lo = min(mind, marker if cons else 0, 0)
     assert out.min() >= lo and out.max() <= max(maxd, w - 1)
 
     # repeat-call determinism

@@ -143,6 +143,20 @@ def test_sgm_pallas_aggregation_on_hardware(tpu_ok, rng):
     assert (batch[0] == b).mean() > 0.999
 
 
+def test_asw_consistent_negative_mindisp_large_d(tpu_ok, rng):
+    """Consistent mode with minDisparity < 0 on the D>16 fori path: the
+    costR lane rotate uses lax.rem(w_acc - d, w_acc) to stay inside the
+    hardware-validated [0, lanes] dynamic_rotate range — interpret mode
+    cannot catch a mis-rotation there, only this run can."""
+    from simplestereo_tpu.passive import asw_disparity
+    img1 = rng.integers(0, 256, (20, 40, 3), np.uint8)
+    img2 = np.roll(img1, 2, axis=1)   # true disparity -2
+    d = np.asarray(asw_disparity(img1, img2, win_size=5, min_disp=-3,
+                                 max_disp=16, consistent=True))
+    inner = d[6:-6, 8:-8]
+    assert (inner == -2).mean() > 0.9
+
+
 def test_sgm_census_cost_on_hardware(tpu_ok, rng):
     """Census cost (uint32 bit-packing + lax.population_count) must lower
     and recover a known shift on the real chip."""
