@@ -76,7 +76,7 @@ def _mi_cost_table(q1, q2, disp, valid, *, bins):
     xs = jnp.arange(W)[None, :]
     xm = jnp.clip(xs - disp, 0, W - 1)
     q2m = jnp.take_along_axis(q2, xm, axis=1)
-    ok = valid & (xs - disp >= 0)
+    ok = valid & (xs - disp >= 0) & (xs - disp <= W - 1)
 
     eps = 1e-7
     flat = jnp.where(ok, q1 * bins + q2m, bins * bins)  # overflow bucket
@@ -164,10 +164,10 @@ def _gsw_pass(img1, img2, *, win_size, min_disp, max_disp, gamma, f_max,
 
     def capdist(d):
         """min(fMax, ||left(y,x) - right(y,x-d)||), zero where invalid."""
-        sh = jnp.pad(f2, ((0, 0), (d, 0), (0, 0)))[:, :W]
+        sh = _shift_tgt(f2, d)
         m = jnp.minimum(_color_dist(f1, sh), f_max)
         xs = jnp.arange(W)[None, :]
-        return jnp.where(xs - d >= 0, m, 0.0)
+        return jnp.where((xs - d >= 0) & (xs - d <= W - 1), m, 0.0)
 
     # Build cost volume: loop disparities (python, D small) and window
     # offsets (fori with dynamic slices).
@@ -185,12 +185,29 @@ def _gsw_pass(img1, img2, *, win_size, min_disp, max_disp, gamma, f_max,
 
         c = jax.lax.fori_loop(0, tot, body, jnp.zeros((H, W), jnp.float32))
         xs = jnp.arange(W)[None, :]
-        costs.append(jnp.where(xs - d >= 0, c, jnp.inf))
+        costs.append(
+            jnp.where((xs - d >= 0) & (xs - d <= W - 1), c, jnp.inf))
     cost = jnp.stack(costs, -1)
     xs = jnp.arange(W)
     disp = jnp.argmin(cost, axis=-1).astype(jnp.int32) + min_disp
     disp = jnp.where(xs[None, :] < min_disp, xs[None, :], disp)
     return disp
+
+
+def _shift_tgt(a, d):
+    """Target-frame column shift: out(y, x) = a(y, x - d), zero fill.
+
+    Handles either sign and |d| >= W (candidate validity is masked by
+    the callers; cv2-style matchers accept negative minDisparity)."""
+    W = a.shape[1]
+    pad = [(0, 0)] * a.ndim
+    if d == 0:
+        return a
+    if d > 0:
+        pad[1] = (min(d, W), 0)
+        return jnp.pad(a, pad)[:, :W]
+    pad[1] = (0, min(-d, W))
+    return jnp.pad(a, pad)[:, min(-d, W):]
 
 
 def _quantize_gray(img, bins):
@@ -226,9 +243,9 @@ def _gsw_mi_step(w, q1, q2, disp_prev, *, win_size, min_disp, max_disp,
     costs = []
     for dd in range(D):
         d = min_disp + dd
-        q2s = jnp.pad(q2, ((0, 0), (d, 0)))[:, :W]
+        q2s = _shift_tgt(q2, d)
         M = flat_t[q1 * bins + q2s]
-        M = jnp.where(xs - d >= 0, M, 0.0)
+        M = jnp.where((xs - d >= 0) & (xs - d <= W - 1), M, 0.0)
         Mp = jnp.pad(M, ((pad, pad), (pad, pad)))
 
         def body(i, acc):
@@ -238,7 +255,8 @@ def _gsw_mi_step(w, q1, q2, disp_prev, *, win_size, min_disp, max_disp,
             return acc + w[i] * m
 
         c = jax.lax.fori_loop(0, tot, body, jnp.zeros((H, W), jnp.float32))
-        costs.append(jnp.where(xs - d >= 0, c, jnp.inf))
+        costs.append(
+            jnp.where((xs - d >= 0) & (xs - d <= W - 1), c, jnp.inf))
     cost = jnp.stack(costs, -1)
     disp = jnp.argmin(cost, axis=-1).astype(jnp.int32) + min_disp
     return jnp.where(xs < min_disp, xs, disp)
@@ -293,8 +311,11 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
     agree = jnp.take_along_axis(dispL, L, axis=1) == dispR
     disagree = jnp.zeros((H, W), bool)
     disagree = jax.vmap(lambda f, l, a: f.at[l].max(~a))(disagree, L, agree)
-    dispI = jnp.where(disagree, -1, dispL)
-    return occlusion_fill(dispI).astype(jnp.int16)
+    # -1 is a legal disparity when min_disp < 0: mark with min_disp - 1
+    # there (same convention as the consistent ASW path).
+    marker = -1 if min_disp >= 0 else min_disp - 1
+    dispI = jnp.where(disagree, marker, dispL)
+    return occlusion_fill(dispI, invalid=marker).astype(jnp.int16)
 
 
 class StereoGSW:

@@ -198,3 +198,16 @@ def test_gsw_invariants(rng, h, w, win, maxd):
     out = m.compute(img1, img2)
     assert out.shape == (h, w) and out.dtype == np.int16
     assert out.min() >= 0 and out.max() <= max(maxd, w - 1)
+
+
+@pytest.mark.parametrize("consistent", [False, True])
+def test_gsw_negative_min_disparity(rng, consistent):
+    """GSW accepts minDisparity < 0 (cv2-style range) and recovers a
+    known negative shift, including through the consistent check."""
+    img1 = rng.integers(0, 256, (14, 30, 3), np.uint8)
+    img2 = np.roll(img1, 2, axis=1)   # target col = x + 2 -> d = -2
+    m = StereoGSW(winSize=3, minDisparity=-4, maxDisparity=4,
+                  iterations=1, consistent=consistent)
+    d = m.compute(img1, img2)
+    inner = d[3:-3, 6:-6]
+    assert (inner == -2).mean() > 0.9
