@@ -440,3 +440,44 @@ def test_ftp_subclass_overriding_only_device_grayscale():
     ok = np.isfinite(a) & np.isfinite(b)
     assert ok.mean() > 0.9
     np.testing.assert_allclose(a[ok], b[ok], rtol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# FTP geometry fuzz
+# --------------------------------------------------------------------------
+
+def test_ftp_random_geometries(rng):
+    """Property fuzz: FTP must recover plane depth across randomized
+    plausible camera-projector geometries (focal lengths, relative pose,
+    fringe period, plane distance), not just the one fixture scene —
+    the epipole position and carrier-frequency math are the fragile
+    spots."""
+    from simplestereo_tpu import warp
+    from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+    import jax.numpy as jnp
+
+    for trial in range(4):
+        f = rng.uniform(120, 180)
+        K = np.array([[f, 0, 63.5], [0, f, 47.5], [0, 0, 1]])
+        R = rodrigues_to_matrix(np.array([rng.normal(0, 0.01),
+                                          rng.normal(-0.05, 0.02),
+                                          rng.normal(0, 0.01)]))
+        T = np.array([[-rng.uniform(25, 55)],
+                      [rng.normal(1, 0.5)],
+                      [rng.uniform(4, 9)]])
+        rig = ss.StereoRig(CAM_RES, PROJ_RES, K, K, None, None, R, T)
+        period = float(rng.choice([12.0, 16.0, 20.0]))
+        z0 = rng.uniform(400, 700)
+        fringe = buildFringe(period, dims=PROJ_RES, stripeColor="red")
+        mapu, mapv, _ = _proj_coords_for_plane(rig, z0)
+        cam_img = np.asarray(warp.remap(
+            jnp.asarray(fringe), jnp.asarray(mapu, jnp.float32),
+            jnp.asarray(mapv, jnp.float32), interpolation="linear"))
+
+        ftp = StereoFTP(rig, fringe, period)
+        cloud = ftp.getCloud(cam_img)
+        center = cloud[20:-20, 20:-20, 2]
+        center = center[np.isfinite(center)]
+        assert center.size > 2000, f"trial {trial}: too few points"
+        err = abs(np.median(center) - z0) / z0
+        assert err < 0.03, f"trial {trial}: median z err {err:.3%}"
