@@ -481,3 +481,30 @@ def test_ftp_random_geometries(rng):
         assert center.size > 2000, f"trial {trial}: too few points"
         err = abs(np.median(center) - z0) / z0
         assert err < 0.03, f"trial {trial}: median z err {err:.3%}"
+
+
+def test_graycode_random_geometries(rng):
+    """Property fuzz: Gray-code scanning recovers plane depth across
+    randomized rig geometries (cf. the FTP fuzz; the re-distortion
+    triangulation and rectifying transforms are shared fragile spots)."""
+    from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+
+    pats, nx, ny = graycode_patterns(PROJ_RES)
+    for trial in range(3):
+        f = rng.uniform(120, 180)
+        K = np.array([[f, 0, 63.5], [0, f, 47.5], [0, 0, 1]])
+        R = rodrigues_to_matrix(np.array([rng.normal(0, 0.01),
+                                          rng.normal(-0.05, 0.02),
+                                          rng.normal(0, 0.01)]))
+        B = rng.uniform(30, 55)
+        T = np.array([[-B], [rng.normal(1, 0.5)], [rng.uniform(4, 9)]])
+        rig = ss.StereoRig(CAM_RES, PROJ_RES, K, K, None, None, R, T)
+        z0 = rng.uniform(400, 650)
+        mapu, mapv, _ = _proj_coords_for_plane(rig, z0)
+        captures = [_capture(p, mapu, mapv) for p in pats]
+        pts = GrayCode(rig).getCloud(captures).reshape(-1, 3)
+        pts = pts[np.isfinite(pts).all(axis=1)]
+        assert len(pts) > 0.4 * CAM_RES[0] * CAM_RES[1], f"trial {trial}"
+        quant = z0 * z0 / (B * f)   # depth per projector-pixel disparity
+        zerr = np.abs(pts[:, 2] - z0)
+        assert np.median(zerr) < 0.5 * quant, f"trial {trial}"
