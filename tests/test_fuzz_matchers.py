@@ -211,3 +211,27 @@ def test_gsw_negative_min_disparity(rng, consistent):
     d = m.compute(img1, img2)
     inner = d[3:-3, 6:-6]
     assert (inner == -2).mean() > 0.9
+
+
+@pytest.mark.slow
+def test_sgm_census_tsukuba_quality_gate(ref_res):
+    """Quality gate for the benchmark operating point: census-SGM on
+    Tsukuba must stay at bad-2.0 <= 3.0% (measured 2.69%; the tuned BT
+    point scores 3.07%). Guards against cost/aggregation regressions
+    that the shape/range fuzz cannot see."""
+    from simplestereo_tpu.imgio import imread
+    from simplestereo_tpu.evaluation import evaluate_disparity, tsukuba_scale
+
+    d = ref_res / "tsukuba"
+    left = imread(str(d / "tsukuba_l.png"))
+    right = imread(str(d / "tsukuba_r.png"))
+    gt = imread(str(d / "groundtruth.png"), grayscale=True)
+    nonocc = imread(str(d / "nonocc.png"), grayscale=True) > 0
+
+    m = StereoSGM(minDisparity=0, numDisparities=16, blockSize=3,
+                  P1=120, P2=480, uniquenessRatio=0,
+                  costMethod="census", censusWindow=7)
+    disp = m.compute(left, right)
+    r = evaluate_disparity(disp, gt, nonocc, bad_thresholds=(2.0,),
+                           disp_scale=1 / 16.0, gt_scale=tsukuba_scale)
+    assert r["bad2"] <= 0.030, r["bad2"]
