@@ -32,6 +32,7 @@ MODULES = [
     "simplestereo_tpu.passive.sgm_pallas",
     "simplestereo_tpu.passive.gsw",
     "simplestereo_tpu.passive.postfilter",
+    "simplestereo_tpu.passive.wls",
     "simplestereo_tpu.passive.lab",
     "simplestereo_tpu.active",
     "simplestereo_tpu.active.patterns",

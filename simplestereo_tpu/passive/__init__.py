@@ -21,6 +21,7 @@ from .asw_ref import asw_disparity_ref, occlusion_fill
 from .asw_pallas import asw_disparity, asw_disparity_batch
 from .sgm import StereoSGM, StereoSGBM_create, filter_speckles
 from .postfilter import median_disparity
+from .wls import fast_global_smoother, wls_filter_disparity
 from .gsw import StereoGSW, gsw_disparity
 
 
@@ -136,4 +137,6 @@ __all__ = [
     "StereoSGBM_create",
     "filter_speckles",
     "median_disparity",
+    "fast_global_smoother",
+    "wls_filter_disparity",
 ]

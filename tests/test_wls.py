@@ -1,0 +1,75 @@
+"""Tests for the WLS (fast global smoother) disparity post-filter."""
+
+import numpy as np
+import pytest
+
+from simplestereo_tpu.passive import fast_global_smoother, \
+    wls_filter_disparity
+
+
+def test_constant_signal_is_fixed_point(rng):
+    guide = rng.integers(0, 256, (12, 18)).astype(np.float32)
+    src = np.full((12, 18), 7.25, np.float32)
+    out = fast_global_smoother(src, guide, lambda_=500.0)
+    np.testing.assert_allclose(out, 7.25, atol=1e-3)
+
+
+def test_smooths_noise_within_regions(rng):
+    src = np.full((16, 24), 10.0, np.float32)
+    noisy = src + rng.normal(0, 1.0, src.shape).astype(np.float32)
+    out = fast_global_smoother(noisy, np.zeros_like(src), lambda_=200.0)
+    assert np.abs(out - src).std() < 0.3 * np.abs(noisy - src).std()
+
+
+def test_edge_preserving(rng):
+    """A strong guide edge blocks smoothing across it."""
+    H, W = 16, 24
+    guide = np.zeros((H, W), np.float32)
+    guide[:, W // 2:] = 255.0
+    src = np.zeros((H, W), np.float32)
+    src[:, W // 2:] = 10.0
+    noisy = src + rng.normal(0, 0.5, src.shape).astype(np.float32)
+    out = fast_global_smoother(noisy, guide, lambda_=200.0, sigma_color=8.0)
+    # each side stays near its level; the step survives
+    assert np.abs(out[:, :W // 2 - 1]).max() < 1.0
+    assert np.abs(out[:, W // 2 + 1:] - 10.0).max() < 1.0
+    assert out[:, W // 2].mean() - out[:, W // 2 - 1].mean() > 8.0
+
+
+def test_invalid_pixels_filled_from_neighbors(rng):
+    """Zero-confidence (invalid) pixels take propagated values."""
+    d = np.full((12, 20), 5.0 * 16, np.float32)
+    d[5:7, 8:12] = -16.0          # invalid block (SGM marker style)
+    guide = np.zeros((12, 20), np.float32)
+    out = wls_filter_disparity(d, guide, lambda_=64.0, invalid=-16,
+                               disp_scale=1 / 16.0)
+    assert np.abs(out - 5.0).max() < 0.2
+
+
+@pytest.mark.slow
+def test_wls_fills_lr_checked_sgm_on_tsukuba(ref_res):
+    """Production pipeline gate: census SGM with LR check + uniqueness
+    leaves ~7% of nonocc invalid-or-bad; WLS filling/smoothing must
+    bring dense bad-2.0 under 3.2% and avgerr under 0.50 px (measured
+    2.83% / 0.44 px at lambda=2)."""
+    from simplestereo_tpu.imgio import imread
+    from simplestereo_tpu.passive import StereoSGM
+    from simplestereo_tpu.evaluation import evaluate_disparity, tsukuba_scale
+
+    d = ref_res / "tsukuba"
+    left = imread(str(d / "tsukuba_l.png"))
+    right = imread(str(d / "tsukuba_r.png"))
+    gt = imread(str(d / "groundtruth.png"), grayscale=True)
+    nonocc = imread(str(d / "nonocc.png"), grayscale=True) > 0
+
+    m = StereoSGM(minDisparity=0, numDisparities=16, blockSize=3,
+                  P1=120, P2=480, uniquenessRatio=10, disp12MaxDiff=1,
+                  costMethod="census", censusWindow=7)
+    d16 = m.compute(left, right)
+    filt = wls_filter_disparity(d16, np.asarray(left).mean(-1),
+                                lambda_=2.0, sigma_color=8.0,
+                                invalid=-16, disp_scale=1 / 16.0)
+    r = evaluate_disparity(filt, gt, nonocc, bad_thresholds=(2.0,),
+                           gt_scale=tsukuba_scale)
+    assert r["bad2"] <= 0.032, r["bad2"]
+    assert r["avgerr"] <= 0.50, r["avgerr"]
