@@ -100,6 +100,38 @@ def _fgs(src, conf, wx, wy, lam, num_iter):
     return u
 
 
+@functools.partial(jax.jit, static_argnames=("num_iter", "has_invalid"))
+def _wls_one(d, guide, lam, sigma, invalid, disp_scale, *, num_iter,
+             has_invalid):
+    """One frame, fully on device (weights + confidence inside the jit —
+    eager ops cost ~20 ms each through the TPU tunnel)."""
+    d = d.astype(jnp.float32)
+    conf = (d != invalid).astype(jnp.float32) if has_invalid \
+        else jnp.ones_like(d)
+    d = d * disp_scale
+    wx, wy = _edge_weights(guide, sigma)
+    return _fgs(d * conf, conf, wx, wy, lam, num_iter)
+
+
+def _wls_dispatch(disparity, guide, lambda_, sigma_color, num_iter,
+                  invalid, disp_scale):
+    d = jnp.asarray(disparity)
+    g = jnp.asarray(guide)
+    if d.ndim not in (2, 3) or g.ndim - d.ndim not in (0, 1) \
+            or g.shape[:d.ndim] != d.shape:
+        raise ValueError(
+            "disparity must be (H, W) or (B, H, W) with a guide of "
+            "matching leading shape (plus an optional channel axis)!")
+    args = (jnp.float32(lambda_), jnp.float32(sigma_color),
+            jnp.float32(0.0 if invalid is None else invalid),
+            jnp.float32(disp_scale))
+    kw = dict(num_iter=int(num_iter), has_invalid=invalid is not None)
+    if d.ndim == 2:
+        return np.asarray(_wls_one(d, g, *args, **kw))
+    return np.asarray(jax.vmap(
+        lambda dd, gg: _wls_one(dd, gg, *args, **kw))(d, g))
+
+
 def fast_global_smoother(src, guide, lambda_=128.0, sigma_color=8.0,
                          num_iter=3):
     """Edge-aware WLS smoothing of ``src`` guided by ``guide``.
@@ -108,14 +140,13 @@ def fast_global_smoother(src, guide, lambda_=128.0, sigma_color=8.0,
     semantics: alternating exact 1-D WLS solves with the paper's
     lambda schedule. ``lambda_`` is the smoothing strength at the
     SOURCE value scale; ``sigma_color`` the guide-gradient falloff
-    (L1 over channels, 0..255 scale).
+    (L1 over channels, 0..255 scale). ``src`` may be (H, W) or a
+    (B, H, W) batch (guide batched alike, optional channel axis).
 
     Returns a float32 array of ``src``'s shape.
     """
-    src = jnp.asarray(src, jnp.float32)
-    wx, wy = _edge_weights(guide, float(sigma_color))
-    return np.asarray(_fgs(src, jnp.ones_like(src), wx, wy,
-                           float(lambda_), int(num_iter)))
+    return _wls_dispatch(src, guide, lambda_, sigma_color, num_iter,
+                         None, 1.0)
 
 
 def wls_filter_disparity(disparity, guide, lambda_=128.0, sigma_color=8.0,
@@ -125,14 +156,10 @@ def wls_filter_disparity(disparity, guide, lambda_=128.0, sigma_color=8.0,
     Invalid pixels (marker ``invalid``, before ``disp_scale``) get zero
     data-term confidence: they receive purely propagated values from
     their neighborhood, like the confidence-weighted cv2 filter with
-    zero confidence there.
+    zero confidence there. ``disparity`` may be (H, W) or a (B, H, W)
+    batch (guide batched alike, optional channel axis).
 
     Returns float32 disparity at the ``disp_scale``-applied scale.
     """
-    d = np.asarray(disparity).astype(np.float32)
-    conf = np.ones_like(d) if invalid is None \
-        else (d != float(invalid)).astype(np.float32)
-    d = d * float(disp_scale)
-    wx, wy = _edge_weights(guide, float(sigma_color))
-    return np.asarray(_fgs(jnp.asarray(d * conf), jnp.asarray(conf),
-                           wx, wy, float(lambda_), int(num_iter)))
+    return _wls_dispatch(disparity, guide, lambda_, sigma_color,
+                         num_iter, invalid, disp_scale)

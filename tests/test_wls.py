@@ -46,6 +46,20 @@ def test_invalid_pixels_filled_from_neighbors(rng):
     assert np.abs(out - 5.0).max() < 0.2
 
 
+def test_batched_matches_per_frame(rng):
+    d = rng.normal(8, 2, (2, 10, 14)).astype(np.float32)
+    g = rng.integers(0, 256, (2, 10, 14, 3)).astype(np.float32)
+    batch = fast_global_smoother(d, g, lambda_=50.0)
+    for i in range(2):
+        np.testing.assert_allclose(
+            batch[i], fast_global_smoother(d[i], g[i], lambda_=50.0),
+            rtol=1e-6, atol=1e-5)
+    with pytest.raises(ValueError):
+        wls_filter_disparity(d[0, 0], g)          # 1-D disparity
+    with pytest.raises(ValueError):
+        wls_filter_disparity(d, g[:1])            # mismatched batch
+
+
 @pytest.mark.slow
 def test_wls_fills_lr_checked_sgm_on_tsukuba(ref_res):
     """Production pipeline gate: census SGM with LR check + uniqueness
