@@ -170,6 +170,17 @@ def test_sgm_census_cost_on_hardware(tpu_ok, rng):
     assert (inner == 3).mean() > 0.9
 
 
+def test_wls_filter_on_hardware(tpu_ok, rng):
+    """The WLS tridiagonal lax.scan solves must lower and fill a
+    zero-confidence block from its neighborhood on the real chip."""
+    from simplestereo_tpu.passive import wls_filter_disparity
+    d = np.full((24, 40), 6.0 * 16, np.float32)
+    d[10:14, 16:24] = -16.0
+    out = wls_filter_disparity(d, np.zeros((24, 40)), lambda_=64.0,
+                               invalid=-16, disp_scale=1 / 16.0)
+    assert np.abs(out - 6.0).max() < 0.2
+
+
 def test_asw_subpixel_on_hardware(tpu_ok, rng):
     """Subpixel output path (one-hot neighbor-cost extraction + extra f32
     kernel output) must lower and bound deltas on the real chip."""
