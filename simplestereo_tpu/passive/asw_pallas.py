@@ -219,6 +219,20 @@ def _asw_kernel(prox_ref, planes_hbm, *refs, pad, w_acc, w_slab, min_disp,
     # Center (unshifted) Lab slices, hoisted out of the window loop.
     ctr = [slab[c, pad:pad + th, pad:pad + w_acc] for c in range(6)]
 
+    # Wide-strip disparity walk (unrolled-D path only): the target
+    # similarity e2 is evaluated once over w_acc + D - 1 columns and each
+    # candidate takes a STATIC contiguous slice — one relayout per d
+    # instead of a two-slice concat roll, on identical values (the extra
+    # strip columns live in the slab's halo/sentinel region, which
+    # requires the candidate range to fit inside the halo: |d| <= pad).
+    wide_ok = (D <= _D_UNROLL and 0 <= max_disp <= pad
+               and -min_disp <= pad)
+    if wide_ok:
+        wlo = pad - max_disp
+        wide_w = w_acc + D - 1
+        ctr_w = [slab[3 + c, pad:pad + th, wlo:wlo + wide_w]
+                 for c in range(3)]
+
     # Window-offset lattice: every pixel at step=1 (reference semantics);
     # at step>1 offsets o with o % step == 0, anchored at the center
     # (the subsampled scan the reference suggested, passive.py:43-46).
@@ -249,9 +263,22 @@ def _asw_kernel(prox_ref, planes_hbm, *refs, pad, w_acc, w_slab, min_disp,
 
             prox2 = prox_ref[i, j]
             e1 = lab_sim(0) * prox2
-            e2 = lab_sim(3)
 
-            if D <= _D_UNROLL:
+            if wide_ok:
+                dsq = jnp.zeros((th, wide_w), jnp.float32)
+                for c in range(3):
+                    dlt = (rolled[3 + c][i:i + th, wlo:wlo + wide_w]
+                           - ctr_w[c])
+                    dsq = dsq + dlt * dlt
+                e2w = jnp.exp(-jnp.sqrt(dsq) * inv_gc)
+                for dd in range(D):
+                    off = max_disp - (min_disp + dd)
+                    w = e1 * e2w[:, off:off + w_acc]
+                    t = tad_j[dd][i:i + th, pad:pad + w_acc]
+                    num[dd] = num[dd] + w * t
+                    den[dd] = den[dd] + w
+            elif D <= _D_UNROLL:
+                e2 = lab_sim(3)
                 for dd in range(D):
                     d = min_disp + dd
                     w = e1 * _roll_const(e2, d)
@@ -262,6 +289,8 @@ def _asw_kernel(prox_ref, planes_hbm, *refs, pad, w_acc, w_slab, min_disp,
                 # fori over disparities with an incrementally rolled
                 # carry: roll-by-1 is a static relayout, so per-step cost
                 # matches the unrolled roll-by-d — only the IR shrinks.
+                e2 = lab_sim(3)
+
                 def dd_body(dd, e2r):
                     w = e1 * e2r
                     t = tadr[dd][i:i + th, pad:pad + w_acc]

@@ -27,6 +27,8 @@ CASES = [
     (12, 20, 9, 2, 2, False, 1),     # single-candidate range (D=1)
     (25, 33, 5, 0, 18, True, 1),     # D>16 fori path
     (20, 40, 5, -3, 16, True, 1),    # D>16 fori + negative minDisparity
+    (12, 40, 11, 0, 4, True, 1),     # wide-strip walk (max_disp <= pad)
+    (12, 40, 13, -2, 4, True, 1),    # wide-strip + negative minDisparity
 ]                                    # (the lax.rem costR rotate path)
 
 

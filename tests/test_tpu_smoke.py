@@ -170,6 +170,20 @@ def test_sgm_census_cost_on_hardware(tpu_ok, rng):
     assert (inner == 3).mean() > 0.9
 
 
+def test_asw_wide_strip_walk_on_hardware(tpu_ok, rng):
+    """The wide-strip disparity walk (one static slice per candidate
+    when max_disp <= pad — the headline win=35 configuration's path)
+    must lower and match on hardware, consistent + subpixel."""
+    from simplestereo_tpu.passive import asw_disparity
+    img1 = rng.integers(0, 256, (24, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    kw = dict(win_size=11, min_disp=0, max_disp=4, consistent=True)
+    d = np.asarray(asw_disparity(img1, img2, **kw))
+    assert (d[8:-8, 12:-12] == 3).mean() > 0.9
+    s = np.asarray(asw_disparity(img1, img2, subpixel=True, **kw))
+    assert np.abs(s - d).max() <= 0.5 + 1e-6
+
+
 def test_wls_filter_on_hardware(tpu_ok, rng):
     """The WLS tridiagonal lax.scan solves must lower and fill a
     zero-confidence block from its neighborhood on the real chip."""
