@@ -143,6 +143,9 @@ class Capture:
         self._lock = threading.Lock()
         self._running = False
         self._thread = None
+        self._error = None
+        self._error_count = 0
+        self._max_consecutive_errors = 100
         self.loop = loop
         self.flipY = flipY
         self._source = None       # driver object, when one is in play
@@ -154,11 +157,13 @@ class Capture:
             from .v4l2 import V4L2Source
             self._source = V4L2Source(source)
             self._next = self._source.read
-        elif hasattr(source, "read") and not isinstance(source, (str, bytes)):
+        elif self._is_driver(source):
             self._source = source
             self._next = source.read
         elif callable(source):
             self._next = source
+        elif isinstance(source, str) and self._open_stream(source):
+            pass  # _open_stream set self._source / self._next / self.isFile
         else:
             if isinstance(source, (str, bytes)) and os.path.isdir(source):
                 exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
@@ -172,9 +177,8 @@ class Capture:
             elif isinstance(source, (str, bytes)):
                 raise ValueError(
                     f"Cannot open device! ({source!r} is not a camera "
-                    "index, /dev/video* path, directory or file list; for "
-                    "network streams pass a driver object implementing "
-                    "the Capture source protocol)")
+                    "index, /dev/video* path, video file, stream URL, "
+                    "directory or file list)")
             else:
                 files = list(source)
             self.isFile = True
@@ -196,6 +200,60 @@ class Capture:
 
             self._next = next_frame
 
+    @staticmethod
+    def _is_driver(source):
+        """True when ``source`` implements the Capture driver protocol.
+
+        ``hasattr(source, 'read')`` alone would misroute file-like objects
+        (open handles, BytesIO — whose ``read`` returns bytes, not a
+        frame), so a driver must also expose at least one protocol extra
+        (``get_resolution`` / ``set_resolution`` / ``release``).
+        """
+        if isinstance(source, (str, bytes)) or not hasattr(source, "read"):
+            return False
+        return any(hasattr(source, m) for m in
+                   ("get_resolution", "set_resolution", "release"))
+
+    def _open_stream(self, source):
+        """Route video files and network URLs to a videoio source.
+
+        Parity: the reference Capture accepts video files and URLs via
+        cv2.VideoCapture (reference utils.py:51-58). Returns True when a
+        source was installed, False when ``source`` is not a video/stream
+        spec (it then falls through to the image-sequence branches).
+        """
+        import os
+
+        from . import videoio
+
+        low = source.lower()
+        if low.startswith(("rtsp://", "rtmp://", "udp://", "tcp://")):
+            self._source = videoio.FFmpegSource(source)
+        elif low.startswith(("http://", "https://")):
+            base = low.split("?", 1)[0]
+            if base.endswith(videoio.VIDEO_EXTENSIONS) \
+                    and videoio.ffmpeg_available():
+                self._source = videoio.FFmpegSource(source)
+            else:
+                self._source = videoio.HTTPMJPEGSource(source)
+        elif low.endswith(videoio.VIDEO_EXTENSIONS) and os.path.isfile(source):
+            self.isFile = True  # control methods return False (reference)
+            if low.endswith(videoio.NATIVE_VIDEO_EXTENSIONS):
+                try:
+                    self._source = videoio.VideoFileSource(source,
+                                                           loop=self.loop)
+                except ValueError:
+                    if not videoio.ffmpeg_available():
+                        raise
+                    self._source = videoio.FFmpegSource(source,
+                                                        loop=self.loop)
+            else:
+                self._source = videoio.FFmpegSource(source, loop=self.loop)
+        else:
+            return False
+        self._next = self._source.read
+        return True
+
     def __enter__(self):
         self.start()
         return self
@@ -214,7 +272,22 @@ class Capture:
 
     def _spin(self):
         while self._running:
-            frame = self._next()
+            # A raising driver (V4L2 glitch, stream hiccup, decode error)
+            # must not silently kill the grab thread — that would leave
+            # get() serving the last stale frame forever. Record the
+            # error (surfaced by get()) and keep spinning on transients.
+            try:
+                frame = self._next()
+            except Exception as e:  # noqa: BLE001 — driver code is arbitrary
+                self._error = e
+                self._error_count += 1
+                if self._error_count >= self._max_consecutive_errors:
+                    self._running = False
+                    return
+                time.sleep(0.01)
+                continue
+            self._error = None
+            self._error_count = 0
             if frame is None:
                 time.sleep(0.005)
                 continue
@@ -222,7 +295,16 @@ class Capture:
                 self._frame = frame
 
     def get(self):
-        """Latest grabbed frame (or None if nothing arrived yet)."""
+        """Latest grabbed frame (or None if nothing arrived yet).
+
+        Raises the driver's error if the grab thread died on repeated
+        source failures (so stalls are loud, not silent stale frames).
+        """
+        if self._error is not None and not self._running \
+                and self._thread is not None:
+            raise RuntimeError(
+                "Capture source failed repeatedly; last error: "
+                f"{self._error!r}") from self._error
         with self._lock:
             frame = None if self._frame is None else self._frame.copy()
         if frame is not None and self.flipY:

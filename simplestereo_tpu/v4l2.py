@@ -59,6 +59,7 @@ V4L2_PIX_FMT_BGR24 = _fourcc("BGR3")
 V4L2_PIX_FMT_RGB24 = _fourcc("RGB3")
 
 V4L2_BUF_TYPE_VIDEO_CAPTURE = 1
+V4L2_BUF_FLAG_ERROR = 0x0040
 V4L2_MEMORY_MMAP = 1
 V4L2_FIELD_NONE = 1
 V4L2_CAP_VIDEO_CAPTURE = 0x00000001
@@ -280,23 +281,32 @@ class V4L2Source:
         b = _v4l2_buffer()
         b.type, b.memory = V4L2_BUF_TYPE_VIDEO_CAPTURE, V4L2_MEMORY_MMAP
         fcntl.ioctl(self._fd, VIDIOC_DQBUF, b)
-        raw = self._bufs[b.index][: b.bytesused]
-        # honor the driver-reported row stride (drivers may pad rows for
-        # alignment; V4L2 permits bytesperline > width * bpp)
-        bpp = 2 if self._pf == V4L2_PIX_FMT_YUYV else 3
-        stride = max(self._stride, self._w * bpp)
-        rows = np.frombuffer(raw, np.uint8,
-                             count=stride * self._h).reshape(self._h,
-                                                             stride)
-        packed = np.ascontiguousarray(rows[:, : self._w * bpp])
-        if self._pf == V4L2_PIX_FMT_YUYV:
-            frame = yuyv_to_bgr(packed, self._w, self._h)
-        else:
-            frame = packed.reshape(self._h, self._w, 3)
-            if self._pf == V4L2_PIX_FMT_RGB24:
-                frame = np.ascontiguousarray(frame[:, :, ::-1])
-        fcntl.ioctl(self._fd, VIDIOC_QBUF, b)
-        return frame
+        # QBUF must happen even when decoding fails (short/error frames on
+        # USB glitches): a dequeued-but-never-requeued buffer leaks out of
+        # the MMAP ring, and after n_buffers such events every read times
+        # out forever.
+        try:
+            bpp = 2 if self._pf == V4L2_PIX_FMT_YUYV else 3
+            # honor the driver-reported row stride (drivers may pad rows
+            # for alignment; V4L2 permits bytesperline > width * bpp)
+            stride = max(self._stride, self._w * bpp)
+            if (b.flags & V4L2_BUF_FLAG_ERROR) or \
+                    b.bytesused < stride * self._h:
+                return None
+            raw = self._bufs[b.index][: b.bytesused]
+            rows = np.frombuffer(raw, np.uint8,
+                                 count=stride * self._h).reshape(self._h,
+                                                                 stride)
+            packed = np.ascontiguousarray(rows[:, : self._w * bpp])
+            if self._pf == V4L2_PIX_FMT_YUYV:
+                frame = yuyv_to_bgr(packed, self._w, self._h)
+            else:
+                frame = packed.reshape(self._h, self._w, 3)
+                if self._pf == V4L2_PIX_FMT_RGB24:
+                    frame = np.ascontiguousarray(frame[:, :, ::-1])
+            return frame
+        finally:
+            fcntl.ioctl(self._fd, VIDIOC_QBUF, b)
 
     def get_resolution(self):
         return (self._w, self._h)
