@@ -21,9 +21,13 @@ dispASW = asw.compute(img1, img2)
 sgm = ss.passive.StereoSGM(minDisparity=4, numDisparities=10, blockSize=11)
 dispSGM = sgm.compute(img1, img2)
 
-# Invalid markers: consistent ASW leaves -1, SGM (minDisparity - 1) * 16.
-for name, disp, scale, inval in (("ASW", dispASW, 1.0, -1),
-                                 ("SGM", dispSGM, 1 / 16.0, 3 * 16)):
+# Invalid markers, derived from the matchers so parameter edits can't
+# skew the metrics: consistent ASW marks minDisparity - 1 (or -1 when
+# minDisparity >= 0), SGM (minDisparity - 1) * 16.
+aswInval = min(asw.minDisparity - 1, -1)
+for name, disp, scale, inval in (("ASW", dispASW, 1.0, aswInval),
+                                 ("SGM", dispSGM, 1 / 16.0,
+                                  (sgm.minDisparity - 1) * 16)):
     r = evaluate_disparity(disp, gt, nonocc, disp_scale=scale,
                            invalid=inval, gt_scale=tsukuba_scale)
     print(f"{name}: bad-2.0 = {r['bad2']:.2%}  avgerr = {r['avgerr']:.2f}px"
