@@ -7,6 +7,15 @@ Methodology: median wall-clock of single calls with *varying* inputs and
 full host readback (defeats async early-acks and any transport-level
 result caching), on the fused one-dispatch consistent pipeline.
 
+Robustness (round 3): the axon TPU backend can transiently fail to
+initialize ("Unable to initialize backend 'axon'"), and a failed init is
+cached for the life of the process. bench.py therefore runs as a
+parent/child pair: the parent re-execs this file as a child process and
+retries (fresh interpreter, so no cached failed backend) with backoff;
+the child probes the backend first (rc=42 on init failure so the parent
+knows to retry) and wraps every metric stage in try/except so a late
+failure still emits a partial JSON line instead of a bare traceback.
+
 Baseline: the reference C++ thread-pool ASW at 384x288, 11 candidates,
 winSize=35, consistent — BASELINE.md's conservative figure of
 1.33 Mpix*disp/s ("<1 s on 4 CPU threads",
@@ -18,16 +27,69 @@ real same-machine speedup is ~16x larger than vs_baseline reports.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+_CHILD_ENV = "SSTPU_BENCH_CHILD"
+_RC_BACKEND = 42  # child exit code meaning "backend init failed, retry me"
+_MAX_ATTEMPTS = int(os.environ.get("SSTPU_BENCH_ATTEMPTS", "10"))
+_BACKOFF_S = float(os.environ.get("SSTPU_BENCH_BACKOFF_S", "60"))
 
-def main():
-    import jax.numpy as jnp
+
+def _parent():
+    """Re-exec this file as a child; retry on backend-init failures."""
+    last_out, last_err = "", ""
+    for attempt in range(1, _MAX_ATTEMPTS + 1):
+        env = dict(os.environ, **{_CHILD_ENV: "1"})
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True)
+        last_out, last_err = proc.stdout, proc.stderr
+        # Forward the child's JSON line (last non-empty stdout line).
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        if proc.returncode != _RC_BACKEND:
+            # Real (non-init) failure: the child already tried to emit a
+            # partial line; forward whatever it printed, then fail loudly.
+            sys.stderr.write(proc.stderr[-4000:])
+            if lines:
+                print(lines[-1])
+                return 0
+            break
+        sys.stderr.write(
+            f"[bench] attempt {attempt}/{_MAX_ATTEMPTS}: TPU backend init "
+            f"failed; retrying in {_BACKOFF_S:.0f}s\n")
+        if attempt < _MAX_ATTEMPTS:
+            time.sleep(_BACKOFF_S)
+    # All attempts failed: still print ONE JSON line so the round has a
+    # machine-readable artifact, and exit nonzero.
+    print(json.dumps({
+        "metric": "asw_tsukuba_consistent_throughput",
+        "value": None, "unit": "Mpix*disp/s", "vs_baseline": None,
+        "error": "TPU backend unavailable after retries",
+        "stderr_tail": (last_err or last_out)[-500:],
+    }))
+    return 1
+
+
+def _child():
+    # Backend probe first: a fresh process either gets a live backend or
+    # exits rc=42 so the parent retries with a fresh interpreter.
+    try:
+        import jax
+        import jax.numpy as jnp
+        jnp.zeros((8,), jnp.float32).block_until_ready()
+    except Exception as e:
+        sys.stderr.write(f"[bench child] backend probe failed: {e!r}\n")
+        return _RC_BACKEND
+
     from simplestereo_tpu.imgio import imread
-    from simplestereo_tpu.passive.asw_pallas import asw_disparity
 
     d = "/root/reference/examples/res/tsukuba/"
     try:
@@ -43,6 +105,19 @@ def main():
 
     kw = dict(win_size=35, min_disp=4, max_disp=14, gamma_c=15.0,
               gamma_p=17.5, consistent=True)
+    H, W = left.shape[:2]
+    D = kw["max_disp"] - kw["min_disp"] + 1
+
+    from simplestereo_tpu.evaluation import evaluate_disparity, tsukuba_scale
+
+    def bad2(disp_map, disp_scale=1.0):
+        return round(evaluate_disparity(
+            disp_map, gt, nonocc > 0, bad_thresholds=(2.0,),
+            disp_scale=disp_scale, gt_scale=tsukuba_scale)["bad2"], 4)
+
+    extra = {}
+    errors = []
+    mpixdisp = None
 
     rightd = jnp.asarray(right)
     # distinct device-resident inputs per iteration
@@ -50,57 +125,51 @@ def main():
     for x in lefts:
         x.block_until_ready()
 
-    disp = np.asarray(asw_disparity(lefts[0], rightd, **kw))  # compile
+    # ---- headline: fused consistent ASW, single frame -------------------
+    try:
+        from simplestereo_tpu.passive.asw_pallas import asw_disparity
 
-    times = []
-    for x in lefts:
-        t0 = time.perf_counter()
-        out = np.asarray(asw_disparity(x, rightd, **kw))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+        np.asarray(asw_disparity(lefts[0], rightd, **kw))  # compile
+        times = []
+        for x in lefts:
+            t0 = time.perf_counter()
+            np.asarray(asw_disparity(x, rightd, **kw))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        mpixdisp = H * W * D / dt / 1e6
+        if gt is not None:
+            disp0 = np.asarray(asw_disparity(jnp.asarray(left), rightd, **kw))
+            extra["bad2_nonocc"] = bad2(disp0)
+    except Exception as e:
+        errors.append(f"asw: {e!r}")
 
-    H, W = left.shape[:2]
-    D = kw["max_disp"] - kw["min_disp"] + 1
-    mpixdisp = H * W * D / dt / 1e6
+    # ---- ASW step=2 (the mode the reference proposed, never implemented)
+    try:
+        from simplestereo_tpu.passive.asw_pallas import asw_disparity
 
-    from simplestereo_tpu.evaluation import evaluate_disparity, tsukuba_scale
+        np.asarray(asw_disparity(lefts[0], rightd, step=2, **kw))  # compile
+        times = []
+        for x in lefts:
+            t0 = time.perf_counter()
+            np.asarray(asw_disparity(x, rightd, step=2, **kw))
+            times.append(time.perf_counter() - t0)
+        dt2 = float(np.median(times))
+        extra["asw_step2_mpixdisp_per_s"] = round(H * W * D / dt2 / 1e6, 2)
+        if gt is not None:
+            d2 = np.asarray(asw_disparity(jnp.asarray(left), rightd, step=2,
+                                          **kw))
+            extra["asw_step2_bad2_nonocc"] = bad2(d2)
+    except Exception as e:
+        errors.append(f"asw_step2: {e!r}")
 
-    def bad2(disp_map):
-        return round(evaluate_disparity(
-            disp_map, gt, nonocc > 0, bad_thresholds=(2.0,),
-            gt_scale=tsukuba_scale)["bad2"], 4)
-
-    extra = {}
-    if gt is not None:
-        disp0 = np.asarray(asw_disparity(jnp.asarray(left), rightd, **kw))
-        extra["bad2_nonocc"] = bad2(disp0)
-
-    # Secondary metric: the subsampled-window scan (step=2) — the mode the
-    # reference proposed as "40-50% faster" but never implemented.
-    np.asarray(asw_disparity(lefts[0], rightd, step=2, **kw))  # compile
-    times = []
-    for x in lefts:
-        t0 = time.perf_counter()
-        out = np.asarray(asw_disparity(x, rightd, step=2, **kw))
-        times.append(time.perf_counter() - t0)
-    dt2 = float(np.median(times))
-    extra["asw_step2_mpixdisp_per_s"] = round(H * W * D / dt2 / 1e6, 2)
-    if gt is not None:
-        d2 = np.asarray(asw_disparity(jnp.asarray(left), rightd, step=2,
-                                      **kw))
-        extra["asw_step2_bad2_nonocc"] = bad2(d2)
-
-    # Secondary metric: the batched ASW pipeline (frame axis folded into
-    # the Pallas kernel grid) — amortizes the ~20-30 ms per-dispatch
-    # tunnel latency, the dominant cost at Tsukuba size.
+    # ---- batched ASW (frame axis folded into the Pallas kernel grid) ----
     try:
         from simplestereo_tpu.passive.asw_pallas import asw_disparity_batch
 
         # Device-resident varying inputs (the tunnel's ~26 MB/s host link
         # would otherwise dominate; outputs are still fully read back).
         B = 8
-        stack2 = np.stack([right] * B)
-        s2d = jnp.asarray(stack2)
+        s2d = jnp.asarray(np.stack([right] * B))
         stacks = []
         for i in range(4):
             s = jnp.asarray(np.stack(
@@ -115,11 +184,10 @@ def main():
             times.append(time.perf_counter() - t0)
         dtb = float(np.median(times)) / B
         extra["asw_batch8_mpixdisp_per_s"] = round(H * W * D / dtb / 1e6, 2)
-    except Exception:
-        pass
+    except Exception as e:
+        errors.append(f"asw_batch8: {e!r}")
 
-    # Secondary metric: the SGM matcher (replaces the reference's
-    # cv2.StereoSGBM delegation) on the same pair.
+    # ---- SGM (replaces the reference's cv2.StereoSGBM delegation) -------
     try:
         from simplestereo_tpu.passive.sgm import StereoSGM
 
@@ -133,19 +201,18 @@ def main():
         times = []
         for x in lefts:
             t0 = time.perf_counter()
-            out = np.asarray(sgm.compute(x, rightd))
+            np.asarray(sgm.compute(x, rightd))
             times.append(time.perf_counter() - t0)
         dts = float(np.median(times))
         extra["sgm_mpixdisp_per_s"] = round(H * W * 16 / dts / 1e6, 2)
         if gt is not None:
             dsg = sgm.compute(left, rightd)
-            extra["sgm_bad2_nonocc"] = round(evaluate_disparity(
-                dsg, gt, nonocc > 0, bad_thresholds=(2.0,),
-                disp_scale=1 / 16.0,
-                gt_scale=tsukuba_scale)["bad2"], 4)
+            extra["sgm_bad2_nonocc"] = bad2(dsg, disp_scale=1 / 16.0)
+    except Exception as e:
+        errors.append(f"sgm: {e!r}")
 
-        # Batched SGM (frame axis on the Pallas kernel grid): dispatch
-        # paid once per stack; device-resident varying inputs as above.
+    # ---- batched SGM ------------------------------------------------------
+    try:
         from simplestereo_tpu.passive.sgm import _sgm_disparity_batch
 
         B = 8
@@ -168,17 +235,48 @@ def main():
         dtsb = float(np.median(times)) / B
         extra["sgm_batch8_mpixdisp_per_s"] = round(
             H * W * 16 / dtsb / 1e6, 2)
-    except Exception:
-        pass
+    except Exception as e:
+        errors.append(f"sgm_batch8: {e!r}")
+
+    # ---- GSW (Pallas kernel, round 3) ------------------------------------
+    try:
+        from simplestereo_tpu.passive.gsw import gsw_disparity
+
+        gkw = dict(win_size=11, min_disp=4, max_disp=14, gamma=10.0,
+                   iterations=3)
+        np.asarray(gsw_disparity(lefts[0], rightd, **gkw))  # compile
+        times = []
+        for x in lefts:
+            t0 = time.perf_counter()
+            np.asarray(gsw_disparity(x, rightd, **gkw))
+            times.append(time.perf_counter() - t0)
+        dtg = float(np.median(times))
+        extra["gsw_mpixdisp_per_s"] = round(H * W * D / dtg / 1e6, 2)
+        if gt is not None:
+            dg = np.asarray(gsw_disparity(jnp.asarray(left), rightd, **gkw))
+            extra["gsw_bad2_nonocc"] = bad2(dg)
+    except Exception as e:
+        errors.append(f"gsw: {e!r}")
 
     baseline = 1.33  # Mpix*disp/s (reference, 4 CPU threads)
-    print(json.dumps({
+    out = {
         "metric": "asw_tsukuba_consistent_throughput",
-        "value": round(mpixdisp, 2),
+        "value": round(mpixdisp, 2) if mpixdisp is not None else None,
         "unit": "Mpix*disp/s",
-        "vs_baseline": round(mpixdisp / baseline, 2),
+        "vs_baseline": (round(mpixdisp / baseline, 2)
+                        if mpixdisp is not None else None),
         **extra,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    return 0
+
+
+def main():
+    if os.environ.get(_CHILD_ENV):
+        return _child()
+    return _parent()
 
 
 if __name__ == "__main__":
