@@ -59,6 +59,24 @@ def test_pallas_matches_oracle_step2(rng, consistent):
     assert mismatch <= 0.012, f"pallas/oracle mismatch {mismatch:.2%}"
 
 
+@pytest.mark.parametrize("consistent", [False, True])
+def test_context_mode_matches_interior(rng, consistent):
+    """context=True: first/last win//2 rows are window sources only; the
+    output must equal the corresponding interior rows of a full run."""
+    win, pad = 7, 3
+    img1, img2 = _pair(rng, h=30, w=37)
+    full = np.asarray(asw_disparity(
+        img1, img2, win_size=win, max_disp=6, min_disp=1,
+        consistent=consistent))
+    ctx = np.asarray(asw_disparity(
+        img1, img2, win_size=win, max_disp=6, min_disp=1,
+        consistent=consistent, context=True))
+    assert ctx.shape == (30 - 2 * pad, 37)
+    # Interior rows see identical windows; consistent-mode fills are
+    # per-row, so they match too.
+    np.testing.assert_array_equal(ctx, full[pad:-pad])
+
+
 def test_recovers_known_shift(rng):
     img1, img2 = _pair(rng, h=24, w=48, shift=3)
     d = np.asarray(asw_disparity(img1, img2, win_size=5, max_disp=6))
@@ -162,6 +180,28 @@ def test_filter_speckles():
     out = filter_speckles(d, -16, max_speckle_size=10, max_diff=16)
     assert (out[5:7, 5:7] == -16).all()
     assert (out[0, 0] == 0)
+
+
+def test_sgm_speckle_params_applied_in_compute(rng):
+    """OpenCV StereoSGBM semantics: speckleWindowSize/speckleRange ctor
+    params apply filterSpeckles inside compute() with
+    newVal = (minDisparity - 1) * 16 and maxDiff = speckleRange * 16."""
+    from simplestereo_tpu.passive import StereoSGM
+    img1 = rng.integers(0, 256, (24, 40, 3), np.uint8)
+    img2 = np.roll(img1, -2, axis=1)
+    base = StereoSGM(minDisparity=0, numDisparities=8, blockSize=3)
+    spk = StereoSGM(minDisparity=0, numDisparities=8, blockSize=3,
+                    speckleWindowSize=50, speckleRange=1)
+    d0 = base.compute(img1, img2)
+    d1 = spk.compute(img1, img2)
+    from simplestereo_tpu.passive import filter_speckles
+    expect = filter_speckles(d0, (spk.minDisparity - 1) * 16,
+                             spk.speckleWindowSize, spk.speckleRange * 16)
+    np.testing.assert_array_equal(d1, expect)
+    # batch path applies the same filter per frame
+    db = spk.computeBatch(np.stack([img1, img1]), np.stack([img2, img2]))
+    np.testing.assert_array_equal(db[0], d1)
+    np.testing.assert_array_equal(db[1], d1)
 
 
 def test_gsw_recovers_known_shift(rng):
