@@ -100,9 +100,13 @@ def tiled_asw_disparity(img1, img2, mesh, row_axis="rows", win_size=35,
     """Row-sharded ASW disparity over a device mesh.
 
     Shards image rows over ``mesh[row_axis]``, exchanges winSize//2 halo
-    rows with ppermute, and runs the Pallas kernel per shard. Consistency
-    check and occlusion fill are per-row (x-direction) operations, so they
-    stay shard-local. Output matches the single-device kernel.
+    rows with ppermute, and runs the Pallas kernel per shard in *context*
+    mode: the halo rows feed the boundary windows as sources only, so no
+    disparity is computed just to be discarded (the pre-round-3 form
+    recomputed 2*(winSize//2) rows per shard — 38% overhead at
+    720p / 8 shards). Consistency check and occlusion fill are per-row
+    (x-direction) operations, so they stay shard-local. Output matches
+    the single-device kernel.
     """
     from ..passive.asw_pallas import asw_disparity
 
@@ -121,11 +125,10 @@ def tiled_asw_disparity(img1, img2, mesh, row_axis="rows", win_size=35,
     def run(i1, i2):
         e1, valid = halo_exchange_rows(i1, halo, row_axis)
         e2, _ = halo_exchange_rows(i2, halo, row_axis)
-        d = asw_disparity(
+        return asw_disparity(
             e1, e2, win_size=win_size, max_disp=max_disp, min_disp=min_disp,
             gamma_c=gamma_c, gamma_p=gamma_p, consistent=consistent,
-            interpret=interpret, row_valid=valid)
-        return d[halo:-halo] if halo else d
+            interpret=interpret, row_valid=valid, context=halo > 0)
 
     return run(jnp.asarray(img1), jnp.asarray(img2))
 
@@ -165,11 +168,10 @@ def tiled_asw_disparity_batch(imgs1, imgs2, mesh, row_axis="rows",
         e1, valid = halo_exchange_rows(i1, halo, row_axis, row_axis=1)
         e2, _ = halo_exchange_rows(i2, halo, row_axis, row_axis=1)
         rv = jnp.broadcast_to(valid, (e1.shape[0],) + valid.shape)
-        d = asw_disparity_batch(
+        return asw_disparity_batch(
             e1, e2, win_size=win_size, max_disp=max_disp, min_disp=min_disp,
             gamma_c=gamma_c, gamma_p=gamma_p, consistent=consistent,
-            interpret=interpret, row_valid=rv)
-        return d[:, halo:-halo] if halo else d
+            interpret=interpret, row_valid=rv, context=halo > 0)
 
     return run(jnp.asarray(imgs1), jnp.asarray(imgs2))
 

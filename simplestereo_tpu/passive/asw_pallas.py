@@ -109,7 +109,13 @@ def _pick_tile_h(H, W, win_size, D):
         slab = _round_up(t + 2 * pad, 8)
         # rolled-TAD scratch doubles the volume on the large-D fori path
         n_tad = D if D <= _D_UNROLL else 2 * D
-        vmem = ((12 + n_tad) * slab * w_slab + (2 * D + 1) * t * w_acc) * 4
+        # wide-strip walk intermediates (ctr_w channels + dsq, width
+        # w_acc + D - 1) and the subpixel csub blocks (3, t, w_acc);
+        # counted unconditionally to keep the budget conservative.
+        wide = 4 * t * (w_acc + D - 1)
+        csub = 3 * t * w_acc
+        vmem = ((12 + n_tad) * slab * w_slab
+                + (2 * D + 1) * t * w_acc + wide + csub) * 4
         if vmem > _VMEM_BUDGET:
             break
         n = -(-H // t)
@@ -479,7 +485,7 @@ def _asw_pass(planes, *, H, W, win_size, min_disp, max_disp, gamma_c, gamma_p,
 
 
 def _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
-                  row_valid=None):
+                  row_valid=None, context=False):
     """Stack sentinel-padded Lab + zero-padded BGR planes, (12, Hp, w_slab).
 
     row_valid : optional (H,) bool — rows marked False are treated exactly
@@ -487,11 +493,20 @@ def _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
         :mod:`simplestereo_tpu.parallel` so that halo rows received at the
         *global* image boundary of a sharded run keep single-device
         semantics.
+    context : bool
+        When True the input's first and last ``win_size // 2`` rows are
+        context only: they replace the sentinel top padding (the kernel
+        reads them as window sources) and no disparity is produced for
+        them. Output height is then ``H - 2 * (win_size // 2)``. This is
+        how the sharded row-tiling path avoids recomputing its halo rows'
+        disparities just to discard them.
     """
     pad = win_size // 2
     H, W = img1.shape[:2]
-    n_bands = -(-H // tile_h)
+    h_out = H - 2 * pad if context else H
+    n_bands = -(-h_out // tile_h)
     h_slab = (n_bands - 1) * tile_h + _slab_rows(win_size, tile_h)
+    pad_top = 0 if context else pad
 
     f1 = img1.astype(jnp.float32)
     f2 = img2.astype(jnp.float32)
@@ -504,7 +519,8 @@ def _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
         if row_valid is not None:
             a = jnp.where(row_valid[None, :, None], a, fill)
         return jnp.pad(
-            a, ((0, 0), (pad, h_slab - H - pad), (pad, w_slab - W - pad)),
+            a, ((0, 0), (pad_top, h_slab - H - pad_top),
+                (pad, w_slab - W - pad)),
             constant_values=fill)
 
     return jnp.concatenate([
@@ -578,16 +594,17 @@ def _finish(dispL, dispR, csub, *, W, min_disp, max_disp, consistent,
     jax.jit,
     static_argnames=("win_size", "max_disp", "min_disp", "gamma_c",
                      "gamma_p", "consistent", "interpret", "step",
-                     "subpixel"))
+                     "subpixel", "context"))
 def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
                        min_disp, gamma_c, gamma_p, consistent, interpret,
-                       step, subpixel=False):
+                       step, subpixel=False, context=False):
     """Whole (optionally consistent) pipeline as ONE device program —
     plane prep, kernel pass(es), LR check and occlusion fill fused into a
     single dispatch so host-device round-trip latency is paid once."""
     H, W = img1.shape[:2]
+    h_out = H - 2 * (win_size // 2) if context else H
     w_acc, w_slab = _layout(W, win_size)
-    tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1)
+    tile_h = _pick_tile_h(h_out, W, win_size, max_disp - min_disp + 1)
 
     kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
               gamma_c=gamma_c, gamma_p=gamma_p, interpret=interpret,
@@ -595,12 +612,12 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
               subpixel=subpixel)
 
     planesL = _build_planes(img1, img2, win_size, w_acc, w_slab, tile_h,
-                            row_valid)
+                            row_valid, context=context)
     # ONE kernel pass yields both matching directions: the right-reference
     # cost volume is a per-d lane shift of the left one (see the symmetry
     # note in _asw_kernel), so consistent mode no longer pays a second
     # full scan.
-    dispL, dispR, csub = _asw_pass(planesL, H=H, W=W, **kw)
+    dispL, dispR, csub = _asw_pass(planesL, H=h_out, W=W, **kw)
     return _finish(dispL, dispR, csub, W=W, min_disp=min_disp,
                    max_disp=max_disp, consistent=consistent,
                    subpixel=subpixel)
@@ -610,10 +627,10 @@ def _asw_disparity_jit(img1, img2, row_valid, *, win_size, max_disp,
     jax.jit,
     static_argnames=("win_size", "max_disp", "min_disp", "gamma_c",
                      "gamma_p", "consistent", "interpret", "step",
-                     "subpixel"))
+                     "subpixel", "context"))
 def _asw_disparity_batch_jit(imgs1, imgs2, row_valid, *, win_size, max_disp,
                              min_disp, gamma_c, gamma_p, consistent,
-                             interpret, step, subpixel=False):
+                             interpret, step, subpixel=False, context=False):
     """Batched pipeline: ONE kernel launch for the whole frame stack.
 
     Plane prep and the post passes are pure jnp and vmap cleanly; only the
@@ -621,8 +638,9 @@ def _asw_disparity_batch_jit(imgs1, imgs2, row_valid, *, win_size, max_disp,
     squeezed batch dim on real TPU), so the batch is folded into the
     kernel grid instead (see ``_asw_pass``)."""
     B, H, W = imgs1.shape[:3]
+    h_out = H - 2 * (win_size // 2) if context else H
     w_acc, w_slab = _layout(W, win_size)
-    tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1)
+    tile_h = _pick_tile_h(h_out, W, win_size, max_disp - min_disp + 1)
 
     kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
               gamma_c=gamma_c, gamma_p=gamma_p, interpret=interpret,
@@ -630,14 +648,15 @@ def _asw_disparity_batch_jit(imgs1, imgs2, row_valid, *, win_size, max_disp,
               subpixel=subpixel)
 
     def build(a, b, rv):
-        return _build_planes(a, b, win_size, w_acc, w_slab, tile_h, rv)
+        return _build_planes(a, b, win_size, w_acc, w_slab, tile_h, rv,
+                             context=context)
 
     if row_valid is None:
         planes = jax.vmap(lambda a, b: build(a, b, None))(imgs1, imgs2)
     else:
         planes = jax.vmap(build)(imgs1, imgs2, row_valid)
 
-    dispL, dispR, csub = _asw_pass(planes, H=H, W=W, **kw)
+    dispL, dispR, csub = _asw_pass(planes, H=h_out, W=W, **kw)
     post = functools.partial(_finish, W=W, min_disp=min_disp,
                              max_disp=max_disp, consistent=consistent,
                              subpixel=subpixel)
@@ -652,7 +671,8 @@ def _asw_disparity_batch_jit(imgs1, imgs2, row_valid, *, win_size, max_disp,
 
 def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
                   gamma_c=5.0, gamma_p=17.5, consistent=False,
-                  interpret=None, row_valid=None, step=1, subpixel=False):
+                  interpret=None, row_valid=None, step=1, subpixel=False,
+                  context=False):
     """ASW disparity map on TPU (Pallas production path).
 
     Parameters mirror the reference ``StereoASW``
@@ -669,6 +689,13 @@ def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
         Middlebury's x16-quantized maps at whole-pixel scenes) fractional
         output cannot improve badX metrics — its value shows on scenes
         with true fractional disparity.
+    context : bool
+        The input's first and last ``win_size // 2`` rows are window
+        *sources* only — no disparity is computed for them, and the
+        output has ``H - 2 * (win_size // 2)`` rows. Used by the sharded
+        row-tiling path (:mod:`simplestereo_tpu.parallel`): the exchanged
+        halo rows feed the boundary windows without the shard recomputing
+        (and discarding) their disparities.
 
     Returns
     -------
@@ -683,13 +710,13 @@ def asw_disparity(img1, img2, win_size=35, max_disp=16, min_disp=0,
         win_size=win_size, max_disp=max_disp, min_disp=min_disp,
         gamma_c=float(gamma_c), gamma_p=float(gamma_p),
         consistent=bool(consistent), interpret=bool(interpret),
-        step=int(step), subpixel=bool(subpixel))
+        step=int(step), subpixel=bool(subpixel), context=bool(context))
 
 
 def asw_disparity_batch(imgs1, imgs2, win_size=35, max_disp=16, min_disp=0,
                         gamma_c=5.0, gamma_p=17.5, consistent=False,
                         interpret=None, row_valid=None, step=1,
-                        subpixel=False):
+                        subpixel=False, context=False):
     """Batched :func:`asw_disparity`: (B, H, W, 3) pairs -> (B, H, W)
     int16 (float32 when ``subpixel``).
 
@@ -702,6 +729,8 @@ def asw_disparity_batch(imgs1, imgs2, win_size=35, max_disp=16, min_disp=0,
 
     row_valid : optional (B, H) bool — per-frame row validity (used by the
         sharded row-tiling path in :mod:`simplestereo_tpu.parallel`).
+    context : bool — first/last ``win_size // 2`` rows are window sources
+        only (see :func:`asw_disparity`).
     """
     if interpret is None:
         interpret = _auto_interpret()
@@ -710,4 +739,4 @@ def asw_disparity_batch(imgs1, imgs2, win_size=35, max_disp=16, min_disp=0,
         win_size=win_size, max_disp=max_disp, min_disp=min_disp,
         gamma_c=float(gamma_c), gamma_p=float(gamma_p),
         consistent=bool(consistent), interpret=bool(interpret),
-        step=int(step), subpixel=bool(subpixel))
+        step=int(step), subpixel=bool(subpixel), context=bool(context))
