@@ -139,17 +139,28 @@ def _census_cost(ref, tgt, min_disp, num_disp, win):
 
 
 def _box_sum(vol, k):
-    """Sum over a k x k spatial window (edge-padded), axis 0/1 of (H,W,D)."""
+    """Sum over a k x k spatial window (edge-padded), axis 0/1 of (H,W,D).
+
+    Direct k-fold shifted adds, NOT a cumsum difference: the result at a
+    pixel is then a pure function of its k x k neighborhood in a fixed
+    summation order, independent of absolute image position. That keeps
+    the row-sharded pipeline (parallel.sgm) bit-identical to the
+    single-device one and avoids f32 prefix-magnitude error on tall
+    frames; at blockSize <= 7 the k extra adds per axis are cheaper than
+    the two cumsums they replace.
+    """
     if k <= 1:
         return vol
     p = k // 2
+    H, W = vol.shape[:2]
     v = jnp.pad(vol, ((p, p), (p, p), (0, 0)), mode="edge")
-    c = jnp.cumsum(v, axis=0)
-    c = jnp.pad(c, ((1, 0), (0, 0), (0, 0)))
-    v = c[k:] - c[:-k]
-    c = jnp.cumsum(v, axis=1)
-    c = jnp.pad(c, ((0, 0), (1, 0), (0, 0)))
-    return c[:, k:] - c[:, :-k]
+    s = v[0:H]
+    for di in range(1, k):
+        s = s + v[di:di + H]
+    out = s[:, 0:W]
+    for dj in range(1, k):
+        out = out + s[:, dj:dj + W]
+    return out
 
 
 def _sgm_step(L_prev, C_cur, P1, P2):
@@ -221,13 +232,32 @@ def _aggregate(C, P1, P2, paths):
     return S
 
 
+def _edge_fill_rows(ext, valid, row_axis=0):
+    """Replace invalid rows (beyond the true image boundary in a
+    row-sharded halo block) with the nearest valid row along ``row_axis``
+    — the sharded twin of ``mode="edge"`` padding."""
+    n = valid.shape[0]
+    first = jnp.argmax(valid)
+    last = n - 1 - jnp.argmax(valid[::-1])
+    idx = jnp.clip(jnp.arange(n), first, last)
+    return jnp.take(ext, idx, axis=row_axis)
+
+
 def _sgm_cost(img1, img2, *, min_disp, num_disp, block_size,
-              prefilter_cap, cost_method="bt", census_window=5):
+              prefilter_cap, cost_method="bt", census_window=5,
+              row_valid=None):
     """Cost volume for one frame (pure jnp, vmappable).
 
     "bt": Sobel prefilter + Birchfield-Tomasi; "census": census/Hamming
     on raw luminance; "bt+census": their sum with census scaled to BT's
-    range (max 2*prefilter_cap over max win*win-1 bits)."""
+    range (max 2*prefilter_cap over max win*win-1 bits).
+
+    ``row_valid`` (row-sharded path): bool mask of rows inside the true
+    image. The pre-box cost at invalid rows is replaced by the nearest
+    valid row's cost so the box filter sees exactly the edge padding the
+    single-device path applies to the *cost volume* (padding the raw
+    image instead changes the Sobel/census values at the duplicated rows
+    and breaks bit-parity at the global boundary)."""
     gray1, gray2 = bgr_to_gray(img1), bgr_to_gray(img2)
     C = None
     if cost_method in ("bt", "bt+census"):
@@ -244,6 +274,8 @@ def _sgm_cost(img1, img2, *, min_disp, num_disp, block_size,
     if C is None:
         raise ValueError(
             "costMethod must be 'bt', 'census' or 'bt+census'!")
+    if row_valid is not None:
+        C = _edge_fill_rows(C, row_valid)
     return _box_sum(C, block_size)
 
 
