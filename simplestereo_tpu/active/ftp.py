@@ -101,20 +101,23 @@ def _unwrap2d(phase):
     return unwrapping.unwrap(p, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("roi",))
-def _dense_cloud_device(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
-                        Rect1, Rect2, R_inv3, baseline, roi):
-    """Dense epipolar triangulation (active.py:793-838) as ONE device
-    program: projector H points from phase, projector-optics
+def _dense_cloud_rows(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
+                      Rect1, Rect2, R_inv3, baseline, roi_x, row0):
+    """Dense epipolar triangulation over a row band (active.py:793-838).
+
+    Every operation is per-pixel, so the band may be any contiguous row
+    range of the ROI: ``row0`` is the *global* image row of the band's
+    first row (traced — the row-sharded path passes ``roi_y + shard *
+    rows_local``). Projector H points from phase, projector-optics
     re-distortion (iterative ``undistort_points``), rectification of both
     grids, disparity and depth. The reference runs this hottest stage on
     the host with cv2.undistortPoints over the full pixel grid; here the
-    whole O(roi_h * roi_w) tail is jitted f32 XLA (the ~1e-3 px f32
+    whole O(rows * roi_w) tail is jitted f32 XLA (the ~1e-3 px f32
     rounding is orders below the phase noise)."""
     from ..geometry import projection as gproj
     from ..geometry import distortion as gdist
 
-    roi_x, roi_y, roi_w, roi_h = roi
+    rows, roi_w = phaseUnwrapped.shape
     # full-f32 matmuls: TPU reduced precision costs whole pixels here
     with jax.default_matmul_precision("highest"):
         two_pi = 2 * jnp.pi
@@ -127,8 +130,8 @@ def _dense_cloud_device(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
         H = gdist.undistort_points(H, K2, dist2, P=K2)
 
         gx, gy = jnp.meshgrid(jnp.arange(roi_w, dtype=jnp.float32),
-                              jnp.arange(roi_h, dtype=jnp.float32))
-        pc = jnp.stack([gx + roi_x + 0.5, gy + roi_y + 0.5],
+                              jnp.arange(rows, dtype=jnp.float32))
+        pc = jnp.stack([gx + roi_x + 0.5, gy + row0 + 0.5],
                        -1).reshape(-1, 2)
         pc = gproj.perspective_transform(pc, Rect1)
         pp = gproj.perspective_transform(H, Rect2)
@@ -137,7 +140,18 @@ def _dense_cloud_device(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
         pw = baseline * pch / jnp.where(disparity > 1e-12, disparity,
                                         jnp.nan)
         out = pw @ R_inv3.T
-    return out.reshape(roi_h, roi_w, 3)
+    return out.reshape(rows, roi_w, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("roi",))
+def _dense_cloud_device(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
+                        Rect1, Rect2, R_inv3, baseline, roi):
+    """Whole-ROI wrapper of :func:`_dense_cloud_rows` (one device
+    program)."""
+    roi_x, roi_y, roi_w, roi_h = roi
+    return _dense_cloud_rows(projCoords, phaseUnwrapped, k, ep, fp, K2,
+                             dist2, Rect1, Rect2, R_inv3, baseline,
+                             roi_x, jnp.float32(roi_y))
 
 
 @functools.partial(jax.jit, static_argnames=("res", "roi", "gray_mode"))
@@ -355,10 +369,11 @@ class StereoFTP:
 
     # -- main entry --------------------------------------------------------
 
-    def getCloud(self, imgObj, radius_factor=0.5, roi=None,
-                 unwrappingMethod=None, plot=False):
-        """Process one camera image into a point cloud
-        (roi_h, roi_w, 3). Parity: active.py:608-841."""
+    def _cloud_prep(self, imgObj, radius_factor, roi):
+        """Host preamble shared by :meth:`getCloud` and the row-sharded
+        :func:`simplestereo_tpu.parallel.sharded_ftp_cloud`: undistort,
+        ROI crop, central-stripe carrier estimation, grayscale plan.
+        Returns a dict of everything the fused device pipeline needs."""
         imgObj = np.asarray(imgObj)
         if imgObj.ndim != 3:
             raise ValueError("image must be a BGR color image!")
@@ -407,6 +422,22 @@ class StereoFTP:
                 self.convertGrayscale(np.asarray(imgObj)), np.float32))
         else:
             gray_mode = self._GRAY_MODE
+
+        return dict(imgObj=imgObj, roi=roi, stripe_idx=stripe_idx,
+                    z_plane=z_plane, fc=fc, radius=radius, rigM=rigM,
+                    gray_mode=gray_mode)
+
+    def getCloud(self, imgObj, radius_factor=0.5, roi=None,
+                 unwrappingMethod=None, plot=False):
+        """Process one camera image into a point cloud
+        (roi_h, roi_w, 3). Parity: active.py:608-841."""
+        rig = self.stereoRig
+        prep = self._cloud_prep(imgObj, radius_factor, roi)
+        imgObj, roi, stripe_idx = (prep["imgObj"], prep["roi"],
+                                   prep["stripe_idx"])
+        z_plane, fc, radius = prep["z_plane"], prep["fc"], prep["radius"]
+        rigM, gray_mode = prep["rigM"], prep["gray_mode"]
+        roi_x, roi_y, roi_w, roi_h = roi
 
         if unwrappingMethod is None:
             # whole post-stripe pipeline in one device dispatch

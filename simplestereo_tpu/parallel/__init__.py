@@ -223,11 +223,16 @@ def psum_stats(x, mesh, axis_names):
     return run(x)
 
 
+from .sgm import tiled_sgm_disparity          # noqa: E402
+from .ftp import sharded_ftp_cloud            # noqa: E402
+
 __all__ = [
     "make_mesh",
     "halo_exchange_rows",
     "tiled_asw_disparity",
     "tiled_asw_disparity_batch",
+    "tiled_sgm_disparity",
+    "sharded_ftp_cloud",
     "batch_parallel",
     "psum_stats",
 ]
