@@ -238,12 +238,16 @@ def _child():
     except Exception as e:
         errors.append(f"sgm_batch8: {e!r}")
 
-    # ---- GSW (Pallas kernel, round 3) ------------------------------------
+    # ---- GSW (closed-form weights, round 3) ------------------------------
+    # The reference's chamfer recursion provably collapses to the direct
+    # color distance (gsw.py:_gsw_weights), so GSW is now fused XLA
+    # reduces. Tuned Tsukuba quality point: win=23, gamma=12.5, fMax=20,
+    # consistent -> bad-2.0 3.3% (round-2 defaults scored 7.4%).
     try:
         from simplestereo_tpu.passive.gsw import gsw_disparity
 
-        gkw = dict(win_size=11, min_disp=4, max_disp=14, gamma=10.0,
-                   iterations=3)
+        gkw = dict(win_size=23, min_disp=4, max_disp=14, gamma=12.5,
+                   f_max=20.0, iterations=1, consistent=True)
         np.asarray(gsw_disparity(lefts[0], rightd, **gkw))  # compile
         times = []
         for x in lefts:

@@ -237,3 +237,28 @@ def test_sgm_census_tsukuba_quality_gate(ref_res):
     r = evaluate_disparity(disp, gt, nonocc, bad_thresholds=(2.0,),
                            disp_scale=1 / 16.0, gt_scale=tsukuba_scale)
     assert r["bad2"] <= 0.030, r["bad2"]
+
+
+@pytest.mark.slow
+def test_gsw_tsukuba_quality_gate(ref_res):
+    """Quality gate for GSW's tuned operating point (round 3): the
+    closed-form weights (gsw.py:_gsw_weights — the reference's chamfer
+    recursion provably collapses to the direct color distance) at
+    winSize=23, gamma=12.5, fMax=20, consistent must stay at
+    bad-2.0 <= 4.0% on Tsukuba (measured 3.28%; round-2 defaults scored
+    7.4%)."""
+    from simplestereo_tpu.imgio import imread
+    from simplestereo_tpu.evaluation import evaluate_disparity, tsukuba_scale
+
+    d = ref_res / "tsukuba"
+    left = imread(str(d / "tsukuba_l.png"))
+    right = imread(str(d / "tsukuba_r.png"))
+    gt = imread(str(d / "groundtruth.png"), grayscale=True)
+    nonocc = imread(str(d / "nonocc.png"), grayscale=True) > 0
+
+    m = StereoGSW(winSize=23, maxDisparity=16, gamma=12.5, fMax=20,
+                  consistent=True)
+    disp = m.compute(left, right)
+    r = evaluate_disparity(disp, gt, nonocc, bad_thresholds=(2.0,),
+                           gt_scale=tsukuba_scale)
+    assert r["bad2"] <= 0.040, r["bad2"]
