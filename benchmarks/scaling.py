@@ -67,7 +67,14 @@ def _parity_report(args, report):
 
 
 def _tpu_strong_scaling(args, report):
-    """Time the per-shard kernel shapes of each mesh size on the real chip."""
+    """Time the per-shard kernel shapes of each mesh size on the real chip.
+
+    Round 3: shards run in *context* mode (the form tiled_asw_disparity
+    now uses) — the 2*halo neighbor rows feed boundary windows as sources
+    only, no disparity is computed for them. The pre-round-3 form
+    recomputed and discarded those rows (68% dispatch-corrected
+    efficiency at 720p/N=8); context mode removes that redundancy.
+    """
     import jax.numpy as jnp
     from simplestereo_tpu.passive.asw_pallas import asw_disparity
 
@@ -84,25 +91,33 @@ def _tpu_strong_scaling(args, report):
     for n in args.devices:
         if H % n:
             continue
-        rows = H // n + (2 * halo if n > 1 else 0)
+        if n == 1:
+            rows, ctx, rv = H, False, None
+        else:
+            rows = H // n + 2 * halo
+            ctx = True
+            # interior-shard validity: both halos are real neighbor rows
+            rv = jnp.ones((rows,), bool)
         # distinct inputs per timed call (axon tunnel can early-ack repeats)
         imgs = [jnp.asarray(np.roll(base1[:rows], i + 1, axis=0))
                 for i in range(5)]
         tgt = jnp.asarray(base2[:rows])
         for x in imgs:
             x.block_until_ready()
-        np.asarray(asw_disparity(imgs[0], tgt, **kw))  # compile
+        np.asarray(asw_disparity(imgs[0], tgt, row_valid=rv, context=ctx,
+                                 **kw))  # compile
         times = []
         for x in imgs:
             t0 = time.perf_counter()
-            np.asarray(asw_disparity(x, tgt, **kw))
+            np.asarray(asw_disparity(x, tgt, row_valid=rv, context=ctx,
+                                     **kw))
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
         if t1 is None:
             t1 = dt
         eff = t1 / (n * dt)
         report["points"].append({
-            "devices": n, "shard_rows": rows,
+            "devices": n, "shard_rows": rows, "context": ctx,
             "per_shard_ms": round(dt * 1e3, 2),
             "strong_scaling_efficiency": round(eff, 3)})
         print(f"devices={n:2d}  shard {rows:4d} rows  {dt * 1e3:8.2f} ms  "
