@@ -224,6 +224,7 @@ def psum_stats(x, mesh, axis_names):
 
 
 from .sgm import tiled_sgm_disparity          # noqa: E402
+from .gsw import tiled_gsw_disparity          # noqa: E402
 from .ftp import sharded_ftp_cloud            # noqa: E402
 
 __all__ = [
@@ -232,6 +233,7 @@ __all__ = [
     "tiled_asw_disparity",
     "tiled_asw_disparity_batch",
     "tiled_sgm_disparity",
+    "tiled_gsw_disparity",
     "sharded_ftp_cloud",
     "batch_parallel",
     "psum_stats",

@@ -131,3 +131,37 @@ def test_sharded_ftp_rejects_indivisible_rows(ftp_setup):
         parallel.sharded_ftp_cloud(
             ftp_setup["ftp"], ftp_setup["cam_img"], mesh,
             roi=(0, 0, 128, 90))
+
+
+# --------------------------------------------------------------------------
+# tiled GSW
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("consistent", [False, True])
+def test_tiled_gsw_bit_parity(rng, consistent):
+    from simplestereo_tpu.passive.gsw import gsw_disparity
+
+    mesh = parallel.make_mesh({"rows": 8})
+    img1, img2 = _pair(rng, h=40, w=40)
+    kw = dict(win_size=7, max_disp=5, min_disp=0, gamma=10.0, f_max=60.0,
+              consistent=consistent)
+    single = np.asarray(gsw_disparity(img1, img2, iterations=1, **kw))
+    tiled = np.asarray(parallel.tiled_gsw_disparity(
+        img1, img2, mesh, iterations=1, **kw))
+    np.testing.assert_array_equal(single, tiled)
+
+
+@pytest.mark.slow
+def test_tiled_gsw_normalized_negative_mindisp(rng):
+    from simplestereo_tpu.passive.gsw import gsw_disparity
+
+    mesh = parallel.make_mesh({"rows": 4},
+                              devices=__import__("jax").devices()[:4])
+    img1 = rng.integers(0, 256, (32, 40, 3), np.uint8)
+    img2 = np.roll(img1, 2, axis=1)     # d = -2
+    kw = dict(win_size=5, max_disp=3, min_disp=-5, gamma=12.0, f_max=30.0,
+              normalize=True, consistent=True)
+    single = np.asarray(gsw_disparity(img1, img2, iterations=1, **kw))
+    tiled = np.asarray(parallel.tiled_gsw_disparity(
+        img1, img2, mesh, iterations=1, **kw))
+    np.testing.assert_array_equal(single, tiled)
