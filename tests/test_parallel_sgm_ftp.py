@@ -165,3 +165,27 @@ def test_tiled_gsw_normalized_negative_mindisp(rng):
     tiled = np.asarray(parallel.tiled_gsw_disparity(
         img1, img2, mesh, iterations=1, **kw))
     np.testing.assert_array_equal(single, tiled)
+
+
+@pytest.mark.slow
+def test_sharded_ftp_anaglyph(rng):
+    """The "br" gray mode's global min/max ride pmin/pmax collectives."""
+    from tests.test_active import _make_rig, _proj_coords_for_plane
+    from simplestereo_tpu.active import buildAnaglyphFringe, StereoFTPAnaglyph
+    from simplestereo_tpu import warp
+
+    rig = _make_rig()
+    period = 16.0
+    fringe = buildAnaglyphFringe(period, dims=tuple(rig.res2))
+    z0 = 520.0
+    mapu, mapv, _ = _proj_coords_for_plane(rig, z0)
+    cam_img = np.asarray(warp.remap(
+        jnp.asarray(fringe), jnp.asarray(mapu, jnp.float32),
+        jnp.asarray(mapv, jnp.float32), interpolation="linear"))
+    ftp = StereoFTPAnaglyph(rig, fringe, period, stripeColor="green")
+    mesh = parallel.make_mesh({"rows": 8})
+    single = ftp.getCloud(cam_img)
+    sharded = parallel.sharded_ftp_cloud(ftp, cam_img, mesh)
+    both = np.isfinite(single[..., 2]) & np.isfinite(sharded[..., 2])
+    dz = np.abs(single[..., 2] - sharded[..., 2])[both]
+    assert np.max(dz) < 1e-2, f"max z diff {np.max(dz)}"
