@@ -40,7 +40,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..active.ftp import (_phase_pipeline, _dense_cloud_rows,
-                          StereoFTP_PhaseOnly)
+                          StereoFTP_Mapping, StereoFTP_PhaseOnly)
 from ..geometry.distortion import distort_normalized, pad_dist_coeffs
 from .. import warp
 
@@ -120,6 +120,10 @@ def sharded_ftp_cloud(ftp, imgObj, mesh, row_axis="rows", *,
     if isinstance(ftp, StereoFTP_PhaseOnly):
         raise TypeError("StereoFTP_PhaseOnly has no cloud output; "
                         "shard getPhase via parallel.batch_parallel")
+    if isinstance(ftp, StereoFTP_Mapping):
+        raise TypeError("StereoFTP_Mapping uses the classic no-virtual-"
+                        "reference pipeline; only the fused StereoFTP/"
+                        "StereoFTPAnaglyph path is row-sharded")
     rig = ftp.stereoRig
     prep = ftp._cloud_prep(imgObj, radius_factor, roi)
     roi = prep["roi"]
