@@ -66,6 +66,12 @@ def main():
         g1, g2, mesh, win_size=5, max_disp=4, consistent=consistent)
     out = np.asarray(multihost_utils.process_allgather(tiled, tiled=True))
 
+    # Tiled SGM: the wavefront pipeline's scan carries cross the process
+    # boundary (the DCN-analog leg of the ppermute chain).
+    sgm_tiled = parallel.tiled_sgm_disparity(g1, g2, mesh, num_disp=4)
+    sgm_out = np.asarray(
+        multihost_utils.process_allgather(sgm_tiled, tiled=True))
+
     # Cross-host psum (the BA normal-equation reduction pattern).
     s, c = np.asarray(parallel.psum_stats(
         jax.make_array_from_callback(
@@ -79,6 +85,13 @@ def main():
             img1, img2, win_size=5, max_disp=4, consistent=consistent))
         mismatch = float((single != out).mean())
         assert mismatch <= 0.005, f"mismatch {mismatch:.2%}"
+        from simplestereo_tpu.passive.sgm import _sgm_disparity
+        sgm_single = np.asarray(_sgm_disparity(
+            jnp.asarray(img1), jnp.asarray(img2), min_disp=0, num_disp=4,
+            block_size=3, P1=72, P2=288, paths=8, prefilter_cap=63.0,
+            uniqueness=10.0, disp12_max_diff=-1, subpixel=True,
+            aggregator="scan"))
+        assert (sgm_single == sgm_out).all(), "tiled SGM multihost mismatch"
         print(f"MULTIHOST-OK mismatch={mismatch:.4f} devices={n_dev} "
               f"processes={nproc}", flush=True)
 
