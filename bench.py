@@ -262,6 +262,53 @@ def _child():
     except Exception as e:
         errors.append(f"gsw: {e!r}")
 
+    # ---- FTP structured-light cloud (BASELINE.json config #5) ----------
+    try:
+        from simplestereo_tpu import StereoRig, warp
+        from simplestereo_tpu.active import buildFringe, StereoFTP
+        from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+
+        res = (640, 480)
+        Kf = np.array([[700.0, 0, 319.5], [0, 700.0, 239.5], [0, 0, 1]])
+        Rf = rodrigues_to_matrix(np.array([0.0, -0.05, 0.0]))
+        Tf = np.array([[-200.0], [5.0], [30.0]])
+        rig = StereoRig(res, res, Kf, Kf, None, None, Rf, Tf)
+        fringe = buildFringe(16.0, dims=res, stripeColor="red")
+        z0 = 2600.0
+        gxf, gyf = np.meshgrid(np.arange(res[0], dtype=float),
+                               np.arange(res[1], dtype=float))
+        rays = np.stack([gxf, gyf, np.ones_like(gxf)], -1) \
+            @ np.linalg.inv(Kf).T
+        q = (z0 * rays @ Rf.T + Tf.ravel()) @ Kf.T
+        cam = np.asarray(warp.remap(
+            jnp.asarray(fringe),
+            jnp.asarray(q[..., 0] / q[..., 2], jnp.float32),
+            jnp.asarray(q[..., 1] / q[..., 2], jnp.float32),
+            interpolation="linear"))
+        ftp = StereoFTP(rig, fringe, 16.0)
+        rngf = np.random.default_rng(0)
+        # distinct inputs per call (±2-gray sensor noise; full host
+        # pipeline incl. stripe estimation runs every call)
+        cams = [np.clip(cam.astype(np.int16)
+                        + rngf.integers(-2, 3, cam.shape), 0, 255)
+                .astype(np.uint8) for _ in range(4)]
+        ftp.getCloud(cams[0])  # compile
+        times = []
+        for cm in cams:
+            t0 = time.perf_counter()
+            cl = ftp.getCloud(cm)
+            times.append(time.perf_counter() - t0)
+        dtf = float(np.median(times))
+        extra["ftp_cloud_640x480_ms"] = round(dtf * 1e3, 1)
+        extra["ftp_cloud_mpix_per_s"] = round(
+            res[0] * res[1] / dtf / 1e6, 2)
+        cz = cl[40:-40, 40:-40, 2]
+        cz = cz[np.isfinite(cz)]
+        extra["ftp_plane_median_z_err_pct"] = round(
+            abs(float(np.median(cz)) - z0) / z0 * 100, 4)
+    except Exception as e:
+        errors.append(f"ftp: {e!r}")
+
     baseline = 1.33  # Mpix*disp/s (reference, 4 CPU threads)
     out = {
         "metric": "asw_tsukuba_consistent_throughput",
