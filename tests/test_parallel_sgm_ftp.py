@@ -189,3 +189,33 @@ def test_sharded_ftp_anaglyph(rng):
     both = np.isfinite(single[..., 2]) & np.isfinite(sharded[..., 2])
     dz = np.abs(single[..., 2] - sharded[..., 2])[both]
     assert np.max(dz) < 1e-2, f"max z diff {np.max(dz)}"
+
+
+@pytest.mark.slow
+def test_tiled_sgm_fuzz_shapes_params(rng):
+    """Randomized shapes/params: tiled == single must hold bit-exactly
+    everywhere, not just at the fixed test points."""
+    import jax
+
+    for _ in range(3):
+        n = int(rng.choice([2, 4, 8]))
+        h = n * int(rng.integers(3, 7))
+        w = int(rng.integers(20, 64))
+        min_disp = int(rng.integers(-5, 3))
+        num_disp = int(rng.integers(4, 12))
+        bs = int(rng.choice([1, 3, 5]))
+        cm = str(rng.choice(["bt", "census"]))
+        sub = bool(rng.integers(0, 2))
+        lr = int(rng.choice([-1, 1]))
+        mesh = parallel.make_mesh({"rows": n}, devices=jax.devices()[:n])
+        img1 = rng.integers(0, 256, (h, w, 3), np.uint8)
+        img2 = np.roll(img1, -int(rng.integers(0, 4)), axis=1)
+        kw = dict(min_disp=min_disp, num_disp=num_disp, block_size=bs,
+                  cost_method=cm, subpixel=sub, disp12_max_diff=lr,
+                  P1=8 * bs * bs, P2=32 * bs * bs)
+        single = _single(img1, img2, **kw)
+        tiled = np.asarray(parallel.tiled_sgm_disparity(
+            img1, img2, mesh, **kw))
+        np.testing.assert_array_equal(
+            single, tiled,
+            err_msg=f"n={n} h={h} w={w} {kw}")
