@@ -219,3 +219,20 @@ def test_tiled_sgm_fuzz_shapes_params(rng):
         np.testing.assert_array_equal(
             single, tiled,
             err_msg=f"n={n} h={h} w={w} {kw}")
+
+
+@pytest.mark.slow
+def test_sharded_ftp_roi_parity(ftp_setup):
+    """Non-trivial ROI: the shard row0 / roi_x / roi_y offset math must
+    reproduce the single-device crop exactly."""
+    mesh = parallel.make_mesh({"rows": 8})
+    ftp = ftp_setup["ftp"]
+    roi = (8, 8, 112, 80)   # 80 rows / 8 shards
+    single = ftp.getCloud(ftp_setup["cam_img"], roi=roi)
+    sharded = parallel.sharded_ftp_cloud(ftp, ftp_setup["cam_img"],
+                                         mesh, roi=roi)
+    assert sharded.shape == single.shape == (80, 112, 3)
+    both = np.isfinite(single[..., 2]) & np.isfinite(sharded[..., 2])
+    assert both.mean() > 0.9
+    dz = np.abs(single[..., 2] - sharded[..., 2])[both]
+    assert np.max(dz) < 1e-2, f"max z diff {np.max(dz)}"
