@@ -212,3 +212,35 @@ def test_asw_subpixel_on_hardware(tpu_ok, rng):
         assert np.abs(ds - di).max() <= 0.5 + 1e-6
         inner = ds[8:-8, 12:-12]
         assert (np.abs(inner - 3) <= 0.5).mean() > 0.9
+
+
+def test_asw_context_mode_on_hardware(tpu_ok, rng):
+    """Round 3: context mode (halo rows are window sources only) changed
+    the kernel's row layout (pad_top=0); interpret mode cannot certify
+    the Mosaic lowering. Context output must equal the middle rows of
+    the full-frame run bit-exactly."""
+    from simplestereo_tpu.passive import asw_disparity
+    win = 9
+    pad = win // 2
+    img1 = rng.integers(0, 256, (32 + 2 * pad, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    kw = dict(win_size=win, max_disp=6, consistent=True)
+    full = np.asarray(asw_disparity(img1, img2, **kw))
+    import jax.numpy as jnp
+    rv = jnp.ones((img1.shape[0],), bool)
+    ctx = np.asarray(asw_disparity(img1, img2, row_valid=rv, context=True,
+                                   **kw))
+    np.testing.assert_array_equal(ctx, full[pad:-pad])
+
+
+def test_gsw_closed_form_on_hardware(tpu_ok, rng):
+    """Round 3: GSW's closed-form weights + stacked mul-reduce cost on
+    the real chip (exp underflow semantics, big stacked reduces)."""
+    from simplestereo_tpu.passive import StereoGSW
+    img1 = rng.integers(0, 256, (24, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    m = StereoGSW(winSize=7, maxDisparity=6, gamma=12.5, fMax=20,
+                  consistent=True)
+    d = m.compute(img1, img2)
+    inner = d[6:-6, 10:-10]
+    assert (inner == 3).mean() > 0.9
