@@ -503,3 +503,48 @@ def test_gsw_compute_batch_matches_single(rng):
             batch[i], m.compute(imgs1[i], imgs2[i]))
     with pytest.raises(ValueError):
         m.computeBatch(imgs1[0], imgs2[0])
+
+
+def test_gsw_closed_form_equals_chamfer_recursion(rng):
+    """Executable theorem (round 3): the reference's Gauss-Seidel chamfer
+    weight recursion (_passive.cpp:430-491) converges to the direct
+    color distance to the window center — its edge relation is the BGR
+    Euclidean metric, so the triangle inequality makes every multi-hop
+    path at least the direct hop. The shipped closed form
+    (gsw._gsw_weights) must match a literal sequential implementation of
+    the recursion."""
+    import jax.numpy as jnp
+    from simplestereo_tpu.passive.gsw import _gsw_weights, _color_dist
+
+    win, gamma, iters = 5, 10.0, 2
+    img = rng.integers(0, 256, (12, 14, 3), np.uint8).astype(np.float64)
+    H, W = img.shape[:2]
+    pad, tot = win // 2, win * win
+    center = (tot - 1) // 2
+    imgp = np.full((H + 2 * pad, W + 2 * pad, 3), np.inf)
+    imgp[pad:-pad, pad:-pad] = img
+    S = np.stack([imgp[i // win:i // win + H, i % win:i % win + W]
+                  for i in range(tot)])
+
+    def dist(i, k):
+        d = np.sqrt(((S[i] - S[k]) ** 2).sum(-1))
+        return np.where(np.isfinite(d), d, np.inf)
+
+    w = np.full((tot, H, W), np.inf)
+    w[center] = 0.0
+    for _ in range(iters):
+        for i in range(tot):            # forward: min over upper half
+            best = np.full((H, W), np.inf)
+            for k in range(center + 1):
+                best = np.minimum(best, w[k] + dist(i, k))
+            w[i] = best
+        for i in range(tot - 1, -1, -1):  # backward: min over lower half
+            best = np.full((H, W), np.inf)
+            for k in range(center, tot):
+                best = np.minimum(best, w[k] + dist(i, k))
+            w[i] = best
+    seq = np.exp(-w / gamma)
+
+    closed = np.asarray(_gsw_weights(jnp.asarray(img, jnp.float32),
+                                     win, iters, gamma))
+    np.testing.assert_allclose(closed, seq, atol=1e-5)
