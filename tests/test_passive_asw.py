@@ -238,6 +238,37 @@ def test_gsw_mutual_information_radiometric_robustness(rng):
         StereoGSW(costMethod="nope")
 
 
+def test_gsw_mi_real_data_gamma_mismatch(tsukuba):
+    """MI cost on REAL data (Tsukuba crop) under a gamma-0.5 response
+    mismatch — a realistic exposure/CRF difference between cameras.
+
+    The reference left MI as a TODO (_passive.cpp:506-508); round 2 only
+    validated it on a synthetic inversion. Measured here (full frame,
+    win=23: SD 59.8% bad-2.0 vs MI 10.0%): the capped color-difference
+    cost collapses while MI holds its operating point."""
+    from simplestereo_tpu.evaluation import evaluate_disparity, tsukuba_scale
+    from simplestereo_tpu.passive.gsw import gsw_disparity
+
+    band = np.s_[80:208]  # 128-row crop keeps CPU runtime ~15 s
+    left, right = tsukuba["left"][band], tsukuba["right"][band]
+    gt, nonocc = tsukuba["gt"][band], tsukuba["nonocc"][band]
+    right_g = np.clip(255.0 * (right / 255.0) ** 0.5, 0, 255).astype(np.uint8)
+
+    def bad2(d):
+        return evaluate_disparity(d, gt, nonocc > 0, bad_thresholds=(2.0,),
+                                  disp_scale=1.0,
+                                  gt_scale=tsukuba_scale)["bad2"]
+
+    kw = dict(win_size=11, min_disp=4, max_disp=14, gamma=10.0,
+              consistent=True)
+    sd = bad2(np.asarray(gsw_disparity(left, right_g, f_max=20.0,
+                                       cost_method="sd", **kw)))
+    mi = bad2(np.asarray(gsw_disparity(left, right_g, cost_method="mi",
+                                       bins=24, mi_iterations=3, **kw)))
+    assert sd > 0.40, f"SD unexpectedly robust: bad2={sd:.3f}"
+    assert mi < 0.20, f"MI degraded on real data: bad2={mi:.3f}"
+
+
 @pytest.mark.parametrize("consistent", [False, True])
 def test_pallas_matches_oracle_large_d(rng, consistent):
     """D > _D_UNROLL switches to the fori disparity loop with an
