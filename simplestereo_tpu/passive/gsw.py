@@ -249,7 +249,8 @@ def _gsw_mi_step(w, q1, q2, disp_prev, *, win_size, min_disp, max_disp,
 def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
                   gamma=10.0, f_max=120.0, iterations=3,
                   consistent=False, cost_method="sd", bins=20,
-                  mi_iterations=2, normalize=False):
+                  mi_iterations=2, normalize=False, engine="auto",
+                  interpret=None):
     """GSW disparity (parameters mirror the reference StereoGSW,
     passive.py:133-145).
 
@@ -264,7 +265,27 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
     normalize (beyond-reference): divide each window cost by the summed
     weight of its valid pixels (ASW-style weighted mean) instead of the
     reference's raw weighted sum.
+
+    engine: "auto" — the Pallas kernel (:mod:`.gsw_pallas`, ~O(win^2)
+    less HBM traffic) on TPU for the plain "sd" cost, the fused-XLA form
+    otherwise; "pallas" / "xla" force a path ("pallas" runs in
+    interpreter mode off-TPU unless ``interpret`` is set). The "mi" cost
+    and ``normalize`` stay on the XLA path.
     """
+    if engine not in ("auto", "pallas", "xla"):
+        raise ValueError("engine must be 'auto', 'pallas' or 'xla'!")
+    pallas_able = cost_method == "sd" and not normalize
+    if engine == "pallas" and not pallas_able:
+        raise ValueError(
+            "engine='pallas' supports cost_method='sd' without normalize!")
+    if pallas_able and (engine == "pallas" or (
+            engine == "auto" and jax.default_backend() == "tpu")):
+        from .gsw_pallas import gsw_disparity_pallas
+        return gsw_disparity_pallas(
+            img1, img2, win_size=win_size, max_disp=max_disp,
+            min_disp=min_disp, gamma=gamma, f_max=f_max,
+            consistent=consistent, interpret=interpret)
+
     img1 = jnp.asarray(img1)
     img2 = jnp.asarray(img2)
     H, W = img1.shape[:2]
@@ -323,11 +344,13 @@ class StereoGSW:
     def __init__(self, winSize=11, maxDisparity=16, minDisparity=0,
                  gamma=10, fMax=120, iterations=3, bins=20,
                  consistent=False, costMethod="sd", miIterations=2,
-                 normalize=False):
+                 normalize=False, engine="auto"):
         if winSize <= 0 or winSize % 2 == 0:
             raise ValueError("winSize must be a positive odd number!")
         if costMethod not in ("sd", "mi"):
             raise ValueError("costMethod must be 'sd' or 'mi'!")
+        if engine not in ("auto", "pallas", "xla"):
+            raise ValueError("engine must be 'auto', 'pallas' or 'xla'!")
         self.winSize = winSize
         self.maxDisparity = maxDisparity
         self.minDisparity = minDisparity
@@ -339,6 +362,7 @@ class StereoGSW:
         self.costMethod = costMethod
         self.miIterations = miIterations
         self.normalize = normalize  # ASW-style weighted-mean cost
+        self.engine = engine  # Pallas kernel vs fused-XLA path selection
 
     def compute(self, img1, img2):
         img1 = np.ascontiguousarray(img1)
@@ -352,7 +376,8 @@ class StereoGSW:
             gamma=float(self.gamma), f_max=float(self.fMax),
             iterations=self.iterations, consistent=self.consistent,
             cost_method=self.costMethod, bins=self.bins,
-            mi_iterations=self.miIterations, normalize=self.normalize))
+            mi_iterations=self.miIterations, normalize=self.normalize,
+            engine=self.engine))
 
     def computeBatch(self, imgs1, imgs2):
         """Batched :meth:`compute`: (B, H, W, 3) stacks -> (B, H, W).
@@ -371,8 +396,19 @@ class StereoGSW:
                 or imgs1.shape != imgs2.shape:
             raise ValueError(
                 "Batches must be (B, H, W, 3) BGR with identical shapes!")
+        pallas_able = self.costMethod == "sd" and not self.normalize
+        if pallas_able and (self.engine == "pallas" or (
+                self.engine == "auto" and jax.default_backend() == "tpu")):
+            # A vmapped pallas_call cannot lower on real TPU: the batch
+            # rides the kernel's leading grid axis instead (one launch).
+            from .gsw_pallas import gsw_disparity_pallas_batch
+            return np.asarray(gsw_disparity_pallas_batch(
+                imgs1, imgs2, win_size=self.winSize,
+                max_disp=self.maxDisparity, min_disp=self.minDisparity,
+                gamma=float(self.gamma), f_max=float(self.fMax),
+                consistent=self.consistent))
         fn = functools.partial(
-            gsw_disparity, win_size=self.winSize,
+            gsw_disparity, engine="xla", win_size=self.winSize,
             max_disp=self.maxDisparity, min_disp=self.minDisparity,
             gamma=float(self.gamma), f_max=float(self.fMax),
             iterations=self.iterations, consistent=self.consistent,
