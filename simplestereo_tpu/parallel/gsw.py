@@ -33,9 +33,14 @@ _SENTINEL = 1e9  # exp(-1e9/gamma) == 0.0 in f32 for any sane gamma
 def tiled_gsw_disparity(img1, img2, mesh, row_axis="rows", *,
                         win_size=11, max_disp=16, min_disp=0, gamma=10.0,
                         f_max=120.0, iterations=1, consistent=False,
-                        normalize=False):
+                        normalize=False, engine="auto", interpret=None):
     """Row-sharded GSW disparity over a device mesh (bit-identical to
-    :func:`simplestereo_tpu.passive.gsw_disparity`)."""
+    :func:`simplestereo_tpu.passive.gsw_disparity`).
+
+    engine / interpret forward to the per-shard matcher: "auto" runs the
+    Pallas kernel on TPU meshes and the XLA form elsewhere; tests pin
+    ``engine="pallas"`` (interpreter mode on CPU) to certify the exact
+    shard_map + Pallas composition a real pod executes."""
     halo = win_size // 2
     H = img1.shape[0]
     n = mesh.shape[row_axis]
@@ -56,7 +61,8 @@ def tiled_gsw_disparity(img1, img2, mesh, row_axis="rows", *,
         d = gsw_disparity(e1, e2, win_size=win_size, max_disp=max_disp,
                           min_disp=min_disp, gamma=gamma, f_max=f_max,
                           iterations=iterations, consistent=consistent,
-                          normalize=normalize)
+                          normalize=normalize, engine=engine,
+                          interpret=interpret)
         return d[halo:-halo] if halo else d
 
     return run(jnp.asarray(img1), jnp.asarray(img2))

@@ -151,6 +151,25 @@ def test_tiled_gsw_bit_parity(rng, consistent):
     np.testing.assert_array_equal(single, tiled)
 
 
+@pytest.mark.parametrize("consistent", [False, True])
+def test_tiled_gsw_pallas_engine_bit_parity(rng, consistent):
+    """The exact composition a real pod executes — shard_map + the GSW
+    Pallas kernel (interpreter mode here) — must reproduce the
+    single-device Pallas result bit-for-bit, sentinel halo rows
+    included."""
+    from simplestereo_tpu.passive.gsw import gsw_disparity
+
+    mesh = parallel.make_mesh({"rows": 4},
+                              devices=__import__("jax").devices()[:4])
+    img1, img2 = _pair(rng, h=24, w=40)
+    kw = dict(win_size=5, max_disp=4, min_disp=0, gamma=10.0, f_max=60.0,
+              consistent=consistent, engine="pallas")
+    single = np.asarray(gsw_disparity(img1, img2, iterations=1, **kw))
+    tiled = np.asarray(parallel.tiled_gsw_disparity(
+        img1, img2, mesh, iterations=1, **kw))
+    np.testing.assert_array_equal(single, tiled)
+
+
 @pytest.mark.slow
 def test_tiled_gsw_normalized_negative_mindisp(rng):
     from simplestereo_tpu.passive.gsw import gsw_disparity
