@@ -33,6 +33,7 @@ MODULES = [
     "simplestereo_tpu.passive.sgm",
     "simplestereo_tpu.passive.sgm_pallas",
     "simplestereo_tpu.passive.gsw",
+    "simplestereo_tpu.passive.gsw_pallas",
     "simplestereo_tpu.passive.postfilter",
     "simplestereo_tpu.passive.wls",
     "simplestereo_tpu.passive.lab",

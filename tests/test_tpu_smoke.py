@@ -244,3 +244,32 @@ def test_gsw_closed_form_on_hardware(tpu_ok, rng):
     d = m.compute(img1, img2)
     inner = d[6:-6, 10:-10]
     assert (inner == 3).mean() > 0.9
+
+
+def test_gsw_pallas_vs_xla_on_hardware(tpu_ok, rng):
+    """Round 3: the GSW Pallas kernel (engine='auto' default on TPU) vs
+    the fused-XLA path on the real chip — bit-exact (GSW's unnormalized
+    integer-separated costs don't hit exp/sqrt near-ties the way ASW's
+    normalized costs do; full-frame Tsukuba parity in
+    benchmarks/verify_r3c.py measured mismatch 0.0)."""
+    from simplestereo_tpu.passive.gsw import gsw_disparity
+    img1 = rng.integers(0, 256, (24, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    kw = dict(win_size=7, max_disp=6, min_disp=-2, gamma=12.5, f_max=20.0,
+              consistent=True)
+    a = np.asarray(gsw_disparity(img1, img2, engine="xla", **kw))
+    b = np.asarray(gsw_disparity(img1, img2, engine="pallas", **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_gsw_pallas_batch_on_hardware(tpu_ok, rng):
+    """Batched GSW lowers on real TPU (frame axis + both consistent-mode
+    directions on the kernel grid — never vmap-of-pallas) and matches
+    per-frame results."""
+    from simplestereo_tpu.passive.gsw import StereoGSW
+    imgs1 = rng.integers(0, 256, (2, 16, 40, 3), np.uint8)
+    imgs2 = np.stack([np.roll(a, -2, axis=1) for a in imgs1])
+    m = StereoGSW(winSize=5, maxDisparity=4, consistent=True)
+    db = m.computeBatch(imgs1, imgs2)
+    for i in range(2):
+        np.testing.assert_array_equal(db[i], m.compute(imgs1[i], imgs2[i]))
