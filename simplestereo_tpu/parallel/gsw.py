@@ -33,7 +33,8 @@ _SENTINEL = 1e9  # exp(-1e9/gamma) == 0.0 in f32 for any sane gamma
 def tiled_gsw_disparity(img1, img2, mesh, row_axis="rows", *,
                         win_size=11, max_disp=16, min_disp=0, gamma=10.0,
                         f_max=120.0, iterations=1, consistent=False,
-                        normalize=False, engine="auto", interpret=None):
+                        normalize=False, engine="auto", interpret=None,
+                        step=1):
     """Row-sharded GSW disparity over a device mesh (bit-identical to
     :func:`simplestereo_tpu.passive.gsw_disparity`).
 
@@ -62,7 +63,7 @@ def tiled_gsw_disparity(img1, img2, mesh, row_axis="rows", *,
                           min_disp=min_disp, gamma=gamma, f_max=f_max,
                           iterations=iterations, consistent=consistent,
                           normalize=normalize, engine=engine,
-                          interpret=interpret)
+                          interpret=interpret, step=step)
         return d[halo:-halo] if halo else d
 
     return run(jnp.asarray(img1), jnp.asarray(img2))

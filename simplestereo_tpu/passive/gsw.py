@@ -141,13 +141,22 @@ def _gsw_weights(img, win_size, iterations, gamma):
 @functools.partial(
     jax.jit,
     static_argnames=("win_size", "min_disp", "max_disp", "gamma", "f_max",
-                     "iterations", "normalize"))
+                     "iterations", "normalize", "step"))
 def _gsw_pass(img1, img2, *, win_size, min_disp, max_disp, gamma, f_max,
-              iterations, normalize=False):
+              iterations, normalize=False, step=1):
     H, W = img1.shape[:2]
     D = max_disp - min_disp + 1
 
     w = _gsw_weights(img1, win_size, iterations, gamma)
+    if step > 1:
+        # ASW's `step` mode (the subsampled scan the reference proposed,
+        # passive.py:43-46): keep offsets on a step-lattice anchored at
+        # the window center by zeroing the other weights.
+        pad = win_size // 2
+        o = np.arange(win_size * win_size)
+        keep = ((o // win_size - pad) % step == 0) \
+            & ((o % win_size - pad) % step == 0)
+        w = w * jnp.asarray(keep, jnp.float32)[:, None, None]
 
     f1 = img1.astype(jnp.float32)
     f2 = img2.astype(jnp.float32)
@@ -250,7 +259,7 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
                   gamma=10.0, f_max=120.0, iterations=3,
                   consistent=False, cost_method="sd", bins=20,
                   mi_iterations=2, normalize=False, engine="auto",
-                  interpret=None):
+                  interpret=None, step=1):
     """GSW disparity (parameters mirror the reference StereoGSW,
     passive.py:133-145).
 
@@ -274,6 +283,10 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
     """
     if engine not in ("auto", "pallas", "xla"):
         raise ValueError("engine must be 'auto', 'pallas' or 'xla'!")
+    if step < 1:
+        raise ValueError("step must be >= 1!")
+    if step > 1 and cost_method == "mi":
+        raise ValueError("step > 1 requires cost_method='sd'!")
     pallas_able = cost_method == "sd" and not normalize
     if engine == "pallas" and not pallas_able:
         raise ValueError(
@@ -284,7 +297,7 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
         return gsw_disparity_pallas(
             img1, img2, win_size=win_size, max_disp=max_disp,
             min_disp=min_disp, gamma=gamma, f_max=f_max,
-            consistent=consistent, interpret=interpret)
+            consistent=consistent, interpret=interpret, step=step)
 
     img1 = jnp.asarray(img1)
     img2 = jnp.asarray(img2)
@@ -292,7 +305,7 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
     xs = jnp.arange(W)
     kw = dict(win_size=win_size, min_disp=min_disp, max_disp=max_disp,
               gamma=float(gamma), f_max=float(f_max),
-              iterations=iterations, normalize=normalize)
+              iterations=iterations, normalize=normalize, step=step)
 
     def one_direction(a, b):
         if cost_method != "mi":
@@ -344,7 +357,7 @@ class StereoGSW:
     def __init__(self, winSize=11, maxDisparity=16, minDisparity=0,
                  gamma=10, fMax=120, iterations=3, bins=20,
                  consistent=False, costMethod="sd", miIterations=2,
-                 normalize=False, engine="auto"):
+                 normalize=False, engine="auto", step=1):
         if winSize <= 0 or winSize % 2 == 0:
             raise ValueError("winSize must be a positive odd number!")
         if costMethod not in ("sd", "mi"):
@@ -363,6 +376,7 @@ class StereoGSW:
         self.miIterations = miIterations
         self.normalize = normalize  # ASW-style weighted-mean cost
         self.engine = engine  # Pallas kernel vs fused-XLA path selection
+        self.step = step  # window-offset lattice stride (ASW-style)
 
     def compute(self, img1, img2):
         img1 = np.ascontiguousarray(img1)
@@ -377,7 +391,7 @@ class StereoGSW:
             iterations=self.iterations, consistent=self.consistent,
             cost_method=self.costMethod, bins=self.bins,
             mi_iterations=self.miIterations, normalize=self.normalize,
-            engine=self.engine))
+            engine=self.engine, step=self.step))
 
     def computeBatch(self, imgs1, imgs2):
         """Batched :meth:`compute`: (B, H, W, 3) stacks -> (B, H, W).
@@ -406,13 +420,14 @@ class StereoGSW:
                 imgs1, imgs2, win_size=self.winSize,
                 max_disp=self.maxDisparity, min_disp=self.minDisparity,
                 gamma=float(self.gamma), f_max=float(self.fMax),
-                consistent=self.consistent))
+                consistent=self.consistent, step=self.step))
         fn = functools.partial(
             gsw_disparity, engine="xla", win_size=self.winSize,
             max_disp=self.maxDisparity, min_disp=self.minDisparity,
             gamma=float(self.gamma), f_max=float(self.fMax),
             iterations=self.iterations, consistent=self.consistent,
             cost_method=self.costMethod, bins=self.bins,
-            mi_iterations=self.miIterations, normalize=self.normalize)
+            mi_iterations=self.miIterations, normalize=self.normalize,
+            step=self.step)
         return np.asarray(jax.vmap(fn)(jnp.asarray(imgs1),
                                        jnp.asarray(imgs2)))

@@ -87,7 +87,7 @@ def _pick_tile_h(H, W, win_size, D):
 
 
 def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
-                gamma, f_max, win_size, tile_h, width, batched):
+                gamma, f_max, win_size, tile_h, width, batched, step):
     """One program = one band of ``tile_h`` output rows.
 
     planes_hbm : (6, Hp, w_slab) f32 in HBM/ANY — [0:3] BGR(ref) with the
@@ -145,8 +145,14 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
     inv_g = 1.0 / gamma
     ctr = [slab[c, pad:pad + th, pad:pad + w_acc] for c in range(3)]
 
+    # Window-offset lattice anchored at the center (ASW's `step` mode):
+    # offsets o with (o - pad) % step == 0.
+    half_j = pad // step
+    n_j = 2 * half_j + 1
+    i_offsets = range(pad % step, win_size, step)
+
     def col_body(m, _):
-        j = m
+        j = (m - half_j) * step + pad
         shift = pad - j  # negative amounts tied to the OUTER fori var
         rolled = [pltpu.roll(slab[c], shift, axis=1) for c in range(3)]
         if D <= _D_UNROLL:
@@ -157,7 +163,7 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
                 return 0
             jax.lax.fori_loop(0, D, roll_vol, 0)
 
-        for i in range(win_size):  # static: sublane slices must be static
+        for i in i_offsets:  # static: sublane slices must be static
             dsq = jnp.zeros((th, w_acc), jnp.float32)
             for c in range(3):
                 dlt = rolled[c][i:i + th, pad:pad + w_acc] - ctr[c]
@@ -176,7 +182,7 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
                 jax.lax.fori_loop(0, D, dd_body, 0)
         return 0
 
-    jax.lax.fori_loop(0, win_size, col_body, 0)
+    jax.lax.fori_loop(0, n_j, col_body, 0)
 
     cost = num[...]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (D, th, w_acc), 2)
@@ -190,9 +196,9 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "win_size", "min_disp", "max_disp", "gamma",
-                     "f_max", "interpret", "tile_h"))
+                     "f_max", "interpret", "tile_h", "step"))
 def _gsw_pass_pallas(planes, *, H, W, win_size, min_disp, max_disp, gamma,
-                     f_max, interpret, tile_h):
+                     f_max, interpret, tile_h, step=1):
     """One matching direction. planes: (6, Hp, w_slab) f32 padded, or
     (B, 6, Hp, w_slab) — the batch rides a leading grid axis in the same
     launch (never vmap around a pallas_call: it cannot lower on TPU)."""
@@ -207,7 +213,7 @@ def _gsw_pass_pallas(planes, *, H, W, win_size, min_disp, max_disp, gamma,
         _gsw_kernel, pad=pad, w_acc=w_acc, w_slab=w_slab,
         min_disp=min_disp, max_disp=max_disp, gamma=float(gamma),
         f_max=float(f_max), win_size=win_size, tile_h=tile_h, width=W,
-        batched=batched)
+        batched=batched, step=step)
 
     if batched:
         B = planes.shape[0]
@@ -242,9 +248,9 @@ def _gsw_pass_pallas(planes, *, H, W, win_size, min_disp, max_disp, gamma,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=frames * H * w_acc * win_size ** 2 * (10 + 2 * D),
+            flops=frames * H * w_acc * (win_size // step) ** 2 * (10 + 2 * D),
             bytes_accessed=planes.size * 4,
-            transcendentals=frames * H * w_acc * win_size ** 2),
+            transcendentals=frames * H * w_acc * (win_size // step) ** 2),
         interpret=interpret,
     )(planes)
     return disp[..., :H, :W]
@@ -293,9 +299,9 @@ def _lr_finish(dispL, dispR, *, W, min_disp):
 @functools.partial(
     jax.jit,
     static_argnames=("win_size", "max_disp", "min_disp", "gamma", "f_max",
-                     "consistent", "interpret"))
+                     "consistent", "interpret", "step"))
 def _gsw_disparity_jit(img1, img2, *, win_size, max_disp, min_disp, gamma,
-                       f_max, consistent, interpret):
+                       f_max, consistent, interpret, step=1):
     """Whole (optionally consistent) pipeline as ONE device program.
 
     Consistent mode stacks the left-reference and the mirrored
@@ -306,7 +312,7 @@ def _gsw_disparity_jit(img1, img2, *, win_size, max_disp, min_disp, gamma,
     tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1)
     kw = dict(H=H, W=W, win_size=win_size, min_disp=min_disp,
               max_disp=max_disp, gamma=gamma, f_max=f_max,
-              interpret=interpret, tile_h=tile_h)
+              interpret=interpret, tile_h=tile_h, step=step)
 
     if not consistent:
         planes = _build_planes(img1, img2, win_size, tile_h)
@@ -325,16 +331,16 @@ def _gsw_disparity_jit(img1, img2, *, win_size, max_disp, min_disp, gamma,
 @functools.partial(
     jax.jit,
     static_argnames=("win_size", "max_disp", "min_disp", "gamma", "f_max",
-                     "consistent", "interpret"))
+                     "consistent", "interpret", "step"))
 def _gsw_disparity_batch_jit(imgs1, imgs2, *, win_size, max_disp, min_disp,
-                             gamma, f_max, consistent, interpret):
+                             gamma, f_max, consistent, interpret, step=1):
     """Batched pipeline: ONE kernel launch for the whole frame stack
     (both matching directions included when ``consistent``)."""
     B, H, W = imgs1.shape[:3]
     tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1)
     kw = dict(H=H, W=W, win_size=win_size, min_disp=min_disp,
               max_disp=max_disp, gamma=gamma, f_max=f_max,
-              interpret=interpret, tile_h=tile_h)
+              interpret=interpret, tile_h=tile_h, step=step)
 
     build = jax.vmap(
         lambda a, b: _build_planes(a, b, win_size, tile_h))
@@ -355,7 +361,7 @@ def _gsw_disparity_batch_jit(imgs1, imgs2, *, win_size, max_disp, min_disp,
 
 def gsw_disparity_pallas(img1, img2, win_size=11, max_disp=16, min_disp=0,
                          gamma=10.0, f_max=120.0, consistent=False,
-                         interpret=None):
+                         interpret=None, step=1):
     """GSW disparity on TPU (Pallas production path, "sd" cost).
 
     Semantics are validated bit-for-bit (interpreter mode) against the
@@ -370,12 +376,12 @@ def gsw_disparity_pallas(img1, img2, win_size=11, max_disp=16, min_disp=0,
         jnp.asarray(img1), jnp.asarray(img2), win_size=int(win_size),
         max_disp=int(max_disp), min_disp=int(min_disp), gamma=float(gamma),
         f_max=float(f_max), consistent=bool(consistent),
-        interpret=bool(interpret))
+        interpret=bool(interpret), step=int(step))
 
 
 def gsw_disparity_pallas_batch(imgs1, imgs2, win_size=11, max_disp=16,
                                min_disp=0, gamma=10.0, f_max=120.0,
-                               consistent=False, interpret=None):
+                               consistent=False, interpret=None, step=1):
     """Batched :func:`gsw_disparity_pallas`: (B, H, W, 3) -> (B, H, W)
     int16, one kernel launch for the stack."""
     if interpret is None:
@@ -384,4 +390,4 @@ def gsw_disparity_pallas_batch(imgs1, imgs2, win_size=11, max_disp=16,
         jnp.asarray(imgs1), jnp.asarray(imgs2), win_size=int(win_size),
         max_disp=int(max_disp), min_disp=int(min_disp), gamma=float(gamma),
         f_max=float(f_max), consistent=bool(consistent),
-        interpret=bool(interpret))
+        interpret=bool(interpret), step=int(step))

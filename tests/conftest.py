@@ -64,3 +64,20 @@ def rng():
     # test's data depend on which tests ran before it (adding a test
     # silently reshuffles every later test's inputs).
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The XLA CPU compiler aborts/segfaults (SIGSEGV/SIGABRT inside
+    backend_compile) when a full-suite run accumulates ~250 live
+    compiled programs and then compiles another large one — whichever
+    test compiles late in the run dies, deterministically. Dropping the
+    executable caches at module boundaries keeps the live-program count
+    bounded; modules re-compile their own programs anyway (cross-module
+    jit reuse is rare here)."""
+    yield
+    import jax
+
+    jax.clear_caches()

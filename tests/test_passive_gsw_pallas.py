@@ -22,23 +22,26 @@ def _pair(rng, h, w, shift=-2):
 
 
 CASES = [
-    # (h, w, win, min_disp, max_disp, consistent)
-    (20, 40, 5, 0, 4, False),
-    (24, 52, 7, 2, 9, True),
-    (17, 33, 5, -3, 4, True),     # negative minDisparity (marker path)
-    (9, 17, 1, 0, 3, True),       # win=1 degenerate window
-    (12, 20, 9, 2, 2, False),     # single-candidate range (D=1)
-    (16, 140, 7, 0, 5, True),     # W past one lane tile (w_acc=256)
-    (16, 48, 3, 0, 20, False),    # D>16: fori volume/accumulate path
-    (16, 48, 3, -2, 19, True),    # D>16 + consistent + negative minD
+    # (h, w, win, min_disp, max_disp, consistent, step)
+    (20, 40, 5, 0, 4, False, 1),
+    (24, 52, 7, 2, 9, True, 1),
+    (17, 33, 5, -3, 4, True, 1),     # negative minDisparity (marker path)
+    (9, 17, 1, 0, 3, True, 1),       # win=1 degenerate window
+    (12, 20, 9, 2, 2, False, 1),     # single-candidate range (D=1)
+    (16, 140, 7, 0, 5, True, 1),     # W past one lane tile (w_acc=256)
+    (16, 48, 3, 0, 20, False, 1),    # D>16: fori volume/accumulate path
+    (16, 48, 3, -2, 19, True, 1),    # D>16 + consistent + negative minD
+    (24, 52, 9, 2, 9, True, 2),      # subsampled window lattice (step)
+    (17, 33, 5, -3, 4, True, 3),     # step + negative minDisparity
+    (16, 48, 5, 0, 20, True, 2),     # step + D>16 fori path
 ]
 
 
-@pytest.mark.parametrize("h,w,win,mind,maxd,cons", CASES)
-def test_pallas_matches_xla_oracle(rng, h, w, win, mind, maxd, cons):
+@pytest.mark.parametrize("h,w,win,mind,maxd,cons,step", CASES)
+def test_pallas_matches_xla_oracle(rng, h, w, win, mind, maxd, cons, step):
     img1, img2 = _pair(rng, h, w)
     kw = dict(win_size=win, min_disp=mind, max_disp=maxd, gamma=10.0,
-              f_max=60.0, consistent=cons)
+              f_max=60.0, consistent=cons, step=step)
     a = np.asarray(gsw_disparity(img1, img2, engine="xla", **kw))
     b = np.asarray(gsw_disparity(img1, img2, engine="pallas", **kw))
     np.testing.assert_array_equal(a, b)
@@ -81,6 +84,10 @@ def test_engine_dispatch_and_validation(rng):
         gsw_disparity(img1, img2, engine="pallas", normalize=True)
     with pytest.raises(ValueError):
         gsw_disparity(img1, img2, engine="nope")
+    with pytest.raises(ValueError):
+        gsw_disparity(img1, img2, step=0)
+    with pytest.raises(ValueError):
+        gsw_disparity(img1, img2, step=2, cost_method="mi")
     with pytest.raises(ValueError):
         StereoGSW(engine="nope")
     # 'auto' off-TPU stays on XLA; the class routes engine through
