@@ -143,6 +143,42 @@ def _dense_cloud_rows(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
     return out.reshape(rows, roi_w, 3)
 
 
+def _render_ftp_debug(dump, plot):
+    """Render the getCloud debug dump (reference parity: the plot=True
+    spectrum/phase windows at active.py:688-714, :747-755). ``plot`` may
+    be True (interactive ``plt.show()``) or a path to save the figure to
+    (headless-friendly extension)."""
+    import matplotlib
+    if plot is not True:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    H, W = np.asarray(dump["phase_unwrapped"]).shape
+    fig, axes = plt.subplots(2, 2, figsize=(11, 7))
+    row = H // 2
+    freqs = np.fft.fftfreq(W)[: W // 2]
+    for key, ax in (("spectrum", axes[0, 0]), ("spectrum_ref", axes[0, 1])):
+        if key in dump:
+            ax.plot(freqs, np.asarray(dump[key])[row, : W // 2])
+            if "fmin" in dump and "fmax" in dump:
+                ax.axvline(float(np.asarray(dump["fmin"])[row]), ls="--")
+                ax.axvline(float(np.asarray(dump["fmax"])[row]), ls="--")
+            ax.set_title(f"{key} (row {row})")
+            ax.set_xlabel("cycles/pixel")
+    im = axes[1, 0].imshow(np.asarray(dump["phase"]), cmap="twilight")
+    axes[1, 0].set_title("wrapped phase")
+    fig.colorbar(im, ax=axes[1, 0])
+    im = axes[1, 1].imshow(np.asarray(dump["phase_unwrapped"]))
+    axes[1, 1].set_title("unwrapped phase")
+    fig.colorbar(im, ax=axes[1, 1])
+    fig.tight_layout()
+    if plot is True:
+        plt.show()
+    else:
+        fig.savefig(plot, dpi=100)
+        plt.close(fig)
+
+
 @functools.partial(jax.jit, static_argnames=("roi",))
 def _dense_cloud_device(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
                         Rect1, Rect2, R_inv3, baseline, roi):
@@ -154,10 +190,11 @@ def _dense_cloud_device(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
                              roi_x, jnp.float32(roi_y))
 
 
-@functools.partial(jax.jit, static_argnames=("res", "roi", "gray_mode"))
+@functools.partial(jax.jit,
+                   static_argnames=("res", "roi", "gray_mode", "debug"))
 def _ftp_cloud_fused(img_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
                      stripe_idx, peak, fp, ep, Rect1, Rect2, R_inv3,
-                     baseline, *, res, roi, gray_mode):
+                     baseline, *, res, roi, gray_mode, debug=False):
     """The whole post-stripe FTP pipeline as ONE device program:
     grayscale conversion, projector mapping + virtual reference, row-FFT
     band-pass phase, 2-D unwrap, fringe-order k from the stripe, dense
@@ -187,9 +224,22 @@ def _ftp_cloud_fused(img_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
     k = (peak - u_A) * fp - theta / (2 * jnp.pi)
     k = jnp.ceil(jnp.mean(k) - 0.5)
 
-    return _dense_cloud_device(
+    cloud = _dense_cloud_device(
         proj_coords, pu, k, ep, fp, K2, dist2, Rect1, Rect2, R_inv3,
         baseline, roi=roi)
+    if not debug:
+        return cloud
+    # Debug introspection (the reference's only FTP instrumentation is
+    # its plot=True spectrum/phase windows, active.py:688-714, :747-755):
+    # the row-FFT magnitudes recompute here, but XLA CSEs them against
+    # the pipeline's own FFTs inside this single trace.
+    dbg = dict(
+        spectrum=jnp.abs(jnp.fft.fft(gray_obj.astype(jnp.complex64),
+                                     axis=1)),
+        spectrum_ref=jnp.abs(jnp.fft.fft(virtual_ref.astype(jnp.complex64),
+                                         axis=1)),
+        phase=phase, phase_unwrapped=pu, k=k)
+    return cloud, dbg
 
 
 class StereoFTP:
@@ -428,10 +478,19 @@ class StereoFTP:
                     gray_mode=gray_mode)
 
     def getCloud(self, imgObj, radius_factor=0.5, roi=None,
-                 unwrappingMethod=None, plot=False):
+                 unwrappingMethod=None, plot=False, dump=None):
         """Process one camera image into a point cloud
-        (roi_h, roi_w, 3). Parity: active.py:608-841."""
+        (roi_h, roi_w, 3). Parity: active.py:608-841.
+
+        Debug introspection (the reference's ``plot=True`` spectrum/phase
+        windows, active.py:688-714): pass a dict as ``dump`` to receive
+        the row-FFT magnitude spectra of the object and virtual-reference
+        frames, the wrapped and unwrapped phase maps, the per-row band
+        edges and the fringe order k; ``plot=True`` shows the same
+        panels interactively, ``plot="path.png"`` saves them (headless).
+        """
         rig = self.stereoRig
+        debug = bool(plot) or dump is not None
         prep = self._cloud_prep(imgObj, radius_factor, roi)
         imgObj, roi, stripe_idx = (prep["imgObj"], prep["roi"],
                                    prep["stripe_idx"])
@@ -441,7 +500,7 @@ class StereoFTP:
 
         if unwrappingMethod is None:
             # whole post-stripe pipeline in one device dispatch
-            finalPoints = _ftp_cloud_fused(
+            out = _ftp_cloud_fused(
                 jnp.asarray(imgObj),
                 jnp.float32(z_plane), jnp.asarray(rigM, jnp.float32),
                 jnp.asarray(np.asarray(rig.T, np.float64).ravel(),
@@ -459,7 +518,18 @@ class StereoFTP:
                 jnp.asarray(self.R_inv[:3, :3], jnp.float32),
                 jnp.float32(rig.getBaseline()),
                 res=tuple(rig.res1), roi=tuple(int(v) for v in roi),
-                gray_mode=gray_mode)
+                gray_mode=gray_mode, debug=debug)
+            if debug:
+                finalPoints, dbg = out
+                dbg = {kk: np.asarray(v) for kk, v in dbg.items()}
+                dbg["fmin"] = np.asarray(fc - radius)
+                dbg["fmax"] = np.asarray(fc + radius)
+                if dump is not None:
+                    dump.update(dbg)
+                if plot:
+                    _render_ftp_debug(dbg, plot)
+            else:
+                finalPoints = out
             return np.asarray(finalPoints, np.float64)
 
         # custom unwrapping callback: staged path with a host round-trip
@@ -485,6 +555,21 @@ class StereoFTP:
             projCoords[stripe_idx[:, 1], stripe_idx[:, 0], 0], np.float64)
         k = (self.stripeCentralPeak - u_A) * self.fp - theta / (2 * np.pi)
         k = float(np.ceil(np.mean(k) - 0.5))
+
+        if debug:
+            dbg = dict(
+                spectrum=np.abs(np.fft.fft(np.asarray(imgObj_gray),
+                                           axis=1)),
+                spectrum_ref=np.abs(np.fft.fft(np.asarray(imgR_gray),
+                                               axis=1)),
+                phase=np.asarray(phase),
+                phase_unwrapped=np.asarray(phaseUnwrapped),
+                k=np.float32(k), fmin=np.asarray(fc - radius),
+                fmax=np.asarray(fc + radius))
+            if dump is not None:
+                dump.update(dbg)
+            if plot:
+                _render_ftp_debug(dbg, plot)
 
         # projector H points + dense epipolar triangulation
         # (active.py:793-838) fused into one device program
@@ -532,12 +617,13 @@ class StereoFTP_Mapping(StereoFTP):
     directly to projector x coordinates."""
 
     def getCloud(self, imgObj, radius_factor=0.5, roi=None,
-                 unwrappingMethod=None, plot=False):
+                 unwrappingMethod=None, plot=False, dump=None):
         imgObj = np.asarray(imgObj)
         if imgObj.ndim != 3:
             raise ValueError("image must be a BGR color image!")
         rig = self.stereoRig
         widthC, heightC = rig.res1
+        debug = bool(plot) or dump is not None
         imgObj = np.asarray(warp.undistort_image(
             imgObj, rig.intrinsic1, rig.distCoeffs1))
         if roi is not None:
@@ -561,17 +647,26 @@ class StereoFTP_Mapping(StereoFTP):
         # object-only band-pass: reference phase is the pure carrier
         radius = radius_factor * fc
         G = np.fft.fft(imgObj_gray, axis=1)
+        spectrum = np.abs(G) if debug else None
         freqs = np.fft.fftfreq(roi_w)
         keep = ((freqs[None, :] - (fc - radius)[:, None] >= 0)
                 & (freqs[None, :] - (fc + radius)[:, None] <= 0))
         G[~keep] = 0
         ghat = np.fft.ifft(G, axis=1)
-        phase = np.angle(ghat)
+        phase_w = np.angle(ghat)
         if unwrappingMethod is None:
-            phase = np.unwrap(phase, axis=1)
+            phase = np.unwrap(phase_w, axis=1)
             phase = np.unwrap(phase, axis=0)
         else:
-            phase = unwrappingMethod(phase)
+            phase = unwrappingMethod(phase_w)
+        if debug:
+            dbg = dict(spectrum=spectrum, phase=phase_w,
+                       phase_unwrapped=phase, fmin=fc - radius,
+                       fmax=fc + radius)
+            if dump is not None:
+                dump.update(dbg)
+            if plot:
+                _render_ftp_debug(dbg, plot)
 
         # absolute phase via the mean phase at the stripe
         theta = phase[stripe_idx[:, 1], stripe_idx[:, 0]]

@@ -325,6 +325,57 @@ def test_ftp_mapping_variant(ftp_scene):
     assert abs(np.median(center) - ftp_scene["z0"]) < 0.1 * ftp_scene["z0"]
 
 
+def test_ftp_debug_dump_and_plot(ftp_scene, tmp_path):
+    """getCloud debug introspection (reference parity: the plot=True
+    spectrum/phase windows, active.py:688-714): dump= fills a dict with
+    the row-FFT spectra, wrapped/unwrapped phase, band edges and fringe
+    order; plot=<path> saves the panels headlessly."""
+    ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],
+                    ftp_scene["period"])
+    W, H = CAM_RES
+    dump = {}
+    cloud = ftp.getCloud(ftp_scene["cam_img"], dump=dump)
+    assert set(dump) >= {"spectrum", "spectrum_ref", "phase",
+                         "phase_unwrapped", "fmin", "fmax", "k"}
+    for key in ("spectrum", "spectrum_ref", "phase", "phase_unwrapped"):
+        assert dump[key].shape == (H, W), key
+    assert np.isfinite(dump["phase_unwrapped"]).all()
+    assert np.abs(dump["phase"]).max() <= np.pi + 1e-5
+    assert float(dump["k"]) == float(int(dump["k"]))  # integer fringe order
+    # the carrier peak of the object spectrum lies inside the band
+    row = H // 2
+    freqs = np.fft.fftfreq(W)
+    sp = dump["spectrum"][row].copy()
+    sp[(freqs <= 0) | (freqs < 0.5 * dump["fmin"][row])] = 0  # drop DC
+    f_peak = freqs[np.argmax(sp)]
+    assert dump["fmin"][row] <= f_peak <= dump["fmax"][row]
+    # instrumentation must not change the cloud
+    plain = ftp.getCloud(ftp_scene["cam_img"])
+    ok = np.isfinite(plain)
+    assert (np.isfinite(cloud) == ok).all()
+    np.testing.assert_allclose(cloud[ok], plain[ok], rtol=1e-5, atol=1e-3)
+    # plot=<path> renders headlessly
+    p = tmp_path / "ftp_debug.png"
+    ftp.getCloud(ftp_scene["cam_img"], plot=str(p))
+    assert p.exists() and p.stat().st_size > 0
+    # the staged (custom unwrapping) path fills the same dump
+    dump2 = {}
+    ftp.getCloud(ftp_scene["cam_img"], dump=dump2,
+                 unwrappingMethod=lambda ph: np.unwrap(
+                     np.unwrap(ph, axis=1), axis=0))
+    assert dump2["phase_unwrapped"].shape == (H, W)
+    np.testing.assert_allclose(dump2["phase"], dump["phase"],
+                               rtol=1e-4, atol=1e-4)
+    # the Mapping variant exposes its object spectrum + phase too
+    from simplestereo_tpu.active import StereoFTP_Mapping
+    ftpm = StereoFTP_Mapping(ftp_scene["rig"], ftp_scene["fringe"],
+                             ftp_scene["period"])
+    dump3 = {}
+    ftpm.getCloud(ftp_scene["cam_img"], dump=dump3)
+    assert dump3["spectrum"].shape == (H, W)
+    assert dump3["phase_unwrapped"].shape == (H, W)
+
+
 def test_ftp_phase_only(ftp_scene):
     from simplestereo_tpu.active import StereoFTP_PhaseOnly
     ftp = StereoFTP_PhaseOnly(ftp_scene["rig"], ftp_scene["fringe"],
