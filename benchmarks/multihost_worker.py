@@ -80,6 +80,68 @@ def main():
         mesh, ("rows",)))
     assert s == 2 * n_dev and c == 2 * n_dev, (s, c)
 
+    # Tiled GSW: Pallas engine (interpreter mode on CPU) under shard_map,
+    # halo ppermutes crossing the process boundary.
+    gsw_tiled = parallel.tiled_gsw_disparity(
+        g1, g2, mesh, win_size=5, max_disp=4, gamma=10.0, f_max=60.0,
+        consistent=consistent, engine="pallas", interpret=True)
+    gsw_out = np.asarray(
+        multihost_utils.process_allgather(gsw_tiled, tiled=True))
+
+    # Row-sharded FTP: distributed y-unwrap (boundary-row ppermute +
+    # all_gather of per-shard column totals) and psum'd fringe order
+    # cross the process boundary. Small synthetic plane scene, identical
+    # on every process.
+    from simplestereo_tpu import StereoRig, warp
+    from simplestereo_tpu.active import buildFringe, StereoFTP
+    from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+
+    CAM = (128, 96)
+    K = np.array([[140.0, 0, 63.5], [0, 140.0, 47.5], [0, 0, 1]])
+    Rr = rodrigues_to_matrix(np.array([0.0, -0.05, 0.0]))
+    Tt = np.array([[-40.0], [1.0], [6.0]])
+    ftp_rig = StereoRig(CAM, CAM, K, K, None, None, Rr, Tt)
+    period, z0 = 16.0, 520.0
+    fringe = buildFringe(period, dims=CAM, stripeColor="red")
+    gx, gy = np.meshgrid(np.arange(CAM[0], dtype=float),
+                         np.arange(CAM[1], dtype=float))
+    rays = np.stack([gx, gy, np.ones_like(gx)], -1) @ np.linalg.inv(K).T
+    q = (z0 * rays @ Rr.T + Tt.ravel()) @ K.T
+    cam_img = np.asarray(warp.remap(
+        jnp.asarray(fringe), jnp.asarray(q[..., 0] / q[..., 2], jnp.float32),
+        jnp.asarray(q[..., 1] / q[..., 2], jnp.float32),
+        interpolation="linear"))
+    ftp = StereoFTP(ftp_rig, fringe, period)
+    ftp_out = parallel.sharded_ftp_cloud(ftp, cam_img, mesh)
+
+    # Sharded Schur-complement BA: the psum'd intrinsic normal equations
+    # reduce across the process boundary.
+    from simplestereo_tpu.calibration import ba
+    from simplestereo_tpu.calibration.sharded import calibrate_camera_sharded
+
+    rng_ba = np.random.default_rng(1)
+    xx, yy = np.meshgrid(np.arange(7), np.arange(6))
+    obj = np.stack([xx.ravel() * 30.0, yy.ravel() * 30.0,
+                    np.zeros(42)], 1)
+    Kt = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1]])
+    views = []
+    for _ in range(n_dev):
+        rvec = rng_ba.normal(0, 0.2, 3)
+        tvec = np.array([rng_ba.normal(-90, 20), rng_ba.normal(-75, 20),
+                         rng_ba.normal(600, 50)])
+        pts = ba.project_points(obj, rvec, tvec, Kt[0, 0], Kt[1, 1],
+                                Kt[0, 2], Kt[1, 2], np.zeros(5))
+        views.append(pts + rng_ba.normal(0, 0.05, pts.shape))
+    Hs = [ba._homography_dlt(obj[:, :2], v) for v in views[:4]]
+    fx, fy, cx, cy = ba._zhang_intrinsics(Hs, (640, 480))
+    K0 = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    rms, Ke, _, poses = calibrate_camera_sharded(
+        np.tile(obj[None], (n_dev, 1, 1)), np.stack(views), K0,
+        np.zeros(5), mesh, axis="rows", iterations=15)
+    assert rms < 0.2, rms
+    assert np.abs(Ke - Kt).max() < 5.0, Ke
+    assert poses.shape == (n_dev, 6)
+
     if pid == 0:
         single = np.asarray(asw_disparity(
             img1, img2, win_size=5, max_disp=4, consistent=consistent))
@@ -92,7 +154,21 @@ def main():
             uniqueness=10.0, disp12_max_diff=-1, subpixel=True,
             aggregator="scan"))
         assert (sgm_single == sgm_out).all(), "tiled SGM multihost mismatch"
-        print(f"MULTIHOST-OK mismatch={mismatch:.4f} devices={n_dev} "
+
+        from simplestereo_tpu.passive.gsw import gsw_disparity
+        gsw_single = np.asarray(gsw_disparity(
+            img1, img2, win_size=5, max_disp=4, gamma=10.0, f_max=60.0,
+            consistent=consistent, engine="pallas", interpret=True))
+        assert (gsw_single == gsw_out).all(), "tiled GSW multihost mismatch"
+
+        ftp_single = ftp.getCloud(cam_img)
+        both = np.isfinite(ftp_single[..., 2]) & np.isfinite(ftp_out[..., 2])
+        assert both.mean() > 0.9, both.mean()
+        dz = float(np.abs(ftp_single[..., 2] - ftp_out[..., 2])[both].max())
+        assert dz < 1e-2, f"sharded FTP multihost dz {dz}"
+
+        print(f"MULTIHOST-OK mismatch={mismatch:.4f} ftp_dz={dz:.2e} "
+              f"ba_rms={rms:.4f} devices={n_dev} "
               f"processes={nproc}", flush=True)
 
     multihost_utils.sync_global_devices("done")

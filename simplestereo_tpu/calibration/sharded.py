@@ -127,10 +127,19 @@ def calibrate_camera_sharded(object_points, image_points, K_init,
         return poses_l, (intr, costs)
 
     sh = NamedSharding(mesh, spec)
-    obj_s = jax.device_put(obj, sh)
-    img_s = jax.device_put(img, sh)
-    poses_s = jax.device_put(poses0, sh)
-    poses, (intr, costs) = gn_steps(obj_s, img_s, poses_s, intr0)
+    multi = jax.process_count() > 1
+    # Multi-process meshes: device_put shards host values to every
+    # process's addressable devices (the host init is deterministic, so
+    # all processes hold identical numpy inputs).
+    obj_s = jax.device_put(np.asarray(obj) if multi else obj, sh)
+    img_s = jax.device_put(np.asarray(img) if multi else img, sh)
+    poses_s = jax.device_put(np.asarray(poses0) if multi else poses0, sh)
+    intr_in = np.asarray(intr0) if multi else intr0
+    poses, (intr, costs) = gn_steps(obj_s, img_s, poses_s, intr_in)
+    if multi:
+        # pose blocks of other processes' views are not addressable here
+        from jax.experimental import multihost_utils
+        poses = multihost_utils.process_allgather(poses, tiled=True)
 
     intr = np.asarray(intr, np.float64)
     K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]], [0, 0, 1]])

@@ -135,25 +135,34 @@ def sharded_ftp_cloud(ftp, imgObj, mesh, row_axis="rows", *,
     gray_mode = prep["gray_mode"]
     fc, radius = prep["fc"], prep["radius"]
 
-    img = jnp.asarray(prep["imgObj"], jnp.float32)
-    fmin = jnp.asarray(fc - radius, jnp.float32)
-    fmax = jnp.asarray(fc + radius, jnp.float32)
-    stripe_idx = jnp.asarray(prep["stripe_idx"], jnp.int32)
+    # Multi-process meshes: committed single-device arrays cannot be
+    # resharded across processes, but host numpy inputs are device_put to
+    # the shard_map's in_specs sharding on every process (each uploads
+    # its addressable shards) — the standard multihost recipe. The host
+    # preamble is deterministic, so every process holds identical values.
+    multi = jax.process_count() > 1
+    cast = (lambda x, dt: np.asarray(x, dt)) if multi \
+        else (lambda x, dt: jnp.asarray(x, dt))
+    img = cast(prep["imgObj"], np.float32)
+    fmin = cast(fc - radius, np.float32)
+    fmax = cast(fc + radius, np.float32)
+    stripe_idx = cast(prep["stripe_idx"], np.int32)
     args = (
         img, fmin, fmax,
-        jnp.float32(prep["z_plane"]),
-        jnp.asarray(prep["rigM"], jnp.float32),
-        jnp.asarray(np.asarray(rig.T, np.float64).ravel(), jnp.float32),
-        jnp.asarray(rig.intrinsic2, jnp.float32),
-        jnp.asarray(pad_dist_coeffs(rig.distCoeffs2)),
-        jnp.asarray(ftp.fringe, jnp.float32),
+        cast(prep["z_plane"], np.float32),
+        cast(prep["rigM"], np.float32),
+        cast(np.asarray(rig.T, np.float64).ravel(), np.float32),
+        cast(rig.intrinsic2, np.float32),
+        cast(np.asarray(pad_dist_coeffs(rig.distCoeffs2)), None),
+        cast(ftp.fringe, np.float32),
         stripe_idx,
-        jnp.float32(ftp.stripeCentralPeak), jnp.float32(ftp.fp),
-        jnp.asarray(ftp.ep, jnp.float32),
-        jnp.asarray(ftp.Rectify1, jnp.float32),
-        jnp.asarray(ftp.Rectify2, jnp.float32),
-        jnp.asarray(ftp.R_inv[:3, :3], jnp.float32),
-        jnp.float32(rig.getBaseline()),
+        cast(ftp.stripeCentralPeak, np.float32),
+        cast(ftp.fp, np.float32),
+        cast(ftp.ep, np.float32),
+        cast(ftp.Rectify1, np.float32),
+        cast(ftp.Rectify2, np.float32),
+        cast(ftp.R_inv[:3, :3], np.float32),
+        cast(rig.getBaseline(), np.float32),
     )
     sh = P(row_axis)
     in_specs = (sh, sh, sh) + (P(),) * (len(args) - 3)
@@ -202,7 +211,12 @@ def sharded_ftp_cloud(ftp, imgObj, mesh, row_axis="rows", *,
         return _dense_cloud_rows(pc_l, pu, k, ep, fp, K2, dist2,
                                  R1, R2, Ri3, baseline, roi_x, row0)
 
-    return np.asarray(run(*args), np.float64)
+    out = run(*args)
+    if multi:
+        # rows of the global cloud live on other processes: gather
+        from jax.experimental import multihost_utils
+        out = multihost_utils.process_allgather(out, tiled=True)
+    return np.asarray(out, np.float64)
 
 
 __all__ = ["sharded_ftp_cloud"]

@@ -23,6 +23,7 @@ from .sgm import StereoSGM, StereoSGBM_create, filter_speckles
 from .postfilter import median_disparity
 from .wls import fast_global_smoother, wls_filter_disparity
 from .gsw import StereoGSW, gsw_disparity
+from .presets import quality_disparity
 
 
 class StereoASW:
@@ -139,4 +140,5 @@ __all__ = [
     "median_disparity",
     "fast_global_smoother",
     "wls_filter_disparity",
+    "quality_disparity",
 ]

@@ -60,10 +60,12 @@ from .asw_ref import occlusion_fill
 BGR_SENTINEL = 1.0e6  # exp(-sentinel/gamma) underflows to exactly 0.0
 
 
-def _pick_tile_h(H, W, win_size, D):
-    """Band height under the VMEM scratch budget (GSW's model: 6 input
+def _pick_tile_h(H, W, win_size, D, ext_vol=False):
+    """Band height under the VMEM scratch budget (GSW's model: input
     planes + the capped-cost volume (doubled on the large-D fori path,
-    which keeps a rolled copy) + the D accumulator blocks)."""
+    which keeps a rolled copy) + the D accumulator blocks). ``ext_vol``:
+    the cost volume arrives pre-built inside the input slab (3 ref
+    planes + D cost planes) instead of being built from 6 BGR planes."""
     pad = win_size // 2
     w_acc, w_slab = _layout(W, win_size)
     h8 = _round_up(max(H, 8), 8)
@@ -73,8 +75,11 @@ def _pick_tile_h(H, W, win_size, D):
         if t > min(h8, t_cap):
             break
         slab = _round_up(t + 2 * pad, 8)
-        n_vol = D if D <= _D_UNROLL else 2 * D
-        vmem = ((6 + n_vol) * slab * w_slab + D * t * w_acc) * 4
+        if ext_vol:
+            n_planes = (3 + D) + (D if D > _D_UNROLL else 0)
+        else:
+            n_planes = 6 + (D if D <= _D_UNROLL else 2 * D)
+        vmem = (n_planes * slab * w_slab + D * t * w_acc) * 4
         if vmem > _VMEM_BUDGET:
             break
         n = -(-H // t)
@@ -87,7 +92,8 @@ def _pick_tile_h(H, W, win_size, D):
 
 
 def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
-                gamma, f_max, win_size, tile_h, width, batched, step):
+                gamma, f_max, win_size, tile_h, width, batched, step,
+                ext_vol=False):
     """One program = one band of ``tile_h`` output rows.
 
     planes_hbm : (6, Hp, w_slab) f32 in HBM/ANY — [0:3] BGR(ref) with the
@@ -95,7 +101,11 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
         zero-padded (every out-of-range target read is masked in the
         volume, so its fill value never matters). Slab column c maps to
         image column c - pad. ``batched``: leading frame axis, grid
-        (B, n_bands).
+        (B, n_bands). ``ext_vol``: planes_hbm is (3 + D, Hp, w_slab) —
+        BGR(ref) + a PRE-BUILT zero-masked cost volume (the MI path:
+        per-pixel table-lookup costs are cheap XLA work; only the window
+        aggregation needs the kernel) — the in-kernel volume build is
+        skipped and vol reads come straight from the slab.
     disp_ref : (tile_h, w_acc) i32 output block — kernel argmin map.
     """
     refs = list(refs)
@@ -114,32 +124,41 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
     cp.start()
     cp.wait()
 
-    # Capped-cost volume over the whole slab, candidate validity folded
-    # in: vol[dd](r, c) = min(fMax, ||ref(r, c) - tgt(r, c - d)||_2) if
-    # 0 <= (c - pad) - d <= width - 1 else 0. The mask also covers the
-    # circular-roll wrap columns (always outside [pad + d, pad + W-1 + d]).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (sr, w_slab), 1) - pad
-
-    def build_vol(dd, d, tgt):
-        dsq = jnp.zeros((sr, w_slab), jnp.float32)
-        for c in range(3):
-            dlt = slab[c] - tgt[c]
-            dsq = dsq + dlt * dlt
-        m = jnp.minimum(jnp.sqrt(dsq), f_max)
-        ok = (lane >= d) & (lane <= width - 1 + d)
-        vol[dd] = jnp.where(ok, m, 0.0)
-
-    if D <= _D_UNROLL:
-        for dd in range(D):
-            d = min_disp + dd
-            build_vol(dd, d, [_roll_const(slab[3 + c], d) for c in range(3)])
+    if ext_vol:
+        def vol_read(dd):
+            return slab[3 + dd]
     else:
-        # Large D: fori with an incrementally rolled carry — O(1) IR.
-        def vol_body(dd, tgt_rolled):
-            build_vol(dd, min_disp + dd, tgt_rolled)
-            return [_roll_const(t, 1) for t in tgt_rolled]
-        init = [_roll_const(slab[3 + c], min_disp) for c in range(3)]
-        jax.lax.fori_loop(0, D, vol_body, init)
+        def vol_read(dd):
+            return vol[dd]
+
+        # Capped-cost volume over the whole slab, candidate validity
+        # folded in: vol[dd](r, c) = min(fMax, ||ref(r,c) - tgt(r,c-d)||)
+        # if 0 <= (c - pad) - d <= width - 1 else 0. The mask also covers
+        # the circular-roll wrap columns (always outside
+        # [pad + d, pad + W-1 + d]).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (sr, w_slab), 1) - pad
+
+        def build_vol(dd, d, tgt):
+            dsq = jnp.zeros((sr, w_slab), jnp.float32)
+            for c in range(3):
+                dlt = slab[c] - tgt[c]
+                dsq = dsq + dlt * dlt
+            m = jnp.minimum(jnp.sqrt(dsq), f_max)
+            ok = (lane >= d) & (lane <= width - 1 + d)
+            vol[dd] = jnp.where(ok, m, 0.0)
+
+        if D <= _D_UNROLL:
+            for dd in range(D):
+                d = min_disp + dd
+                build_vol(dd, d,
+                          [_roll_const(slab[3 + c], d) for c in range(3)])
+        else:
+            # Large D: fori with an incrementally rolled carry — O(1) IR.
+            def vol_body(dd, tgt_rolled):
+                build_vol(dd, min_disp + dd, tgt_rolled)
+                return [_roll_const(t, 1) for t in tgt_rolled]
+            init = [_roll_const(slab[3 + c], min_disp) for c in range(3)]
+            jax.lax.fori_loop(0, D, vol_body, init)
 
     num[...] = jnp.zeros((D, th, w_acc), jnp.float32)
     inv_g = 1.0 / gamma

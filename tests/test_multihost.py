@@ -49,7 +49,7 @@ def test_two_process_row_tiling(consistent):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     finally:
         for p in procs:

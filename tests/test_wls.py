@@ -87,3 +87,66 @@ def test_wls_fills_lr_checked_sgm_on_tsukuba(ref_res):
                            gt_scale=tsukuba_scale)
     assert r["bad2"] <= 0.032, r["bad2"]
     assert r["avgerr"] <= 0.50, r["avgerr"]
+
+
+# --------------------------------------------------------------------------
+# quality_disparity preset (one-call best-quality composition)
+# --------------------------------------------------------------------------
+
+def _shift_scene(rng, H=24, W=48, d_true=3):
+    """Textured pair with a uniform integer shift of d_true:
+    left(x) == right(x - d_true)."""
+    base = rng.integers(0, 256, (H, W + d_true, 3), np.uint8)
+    img1 = base[:, :W]               # left
+    img2 = base[:, d_true:]          # right: img1[x] = img2[x - d_true]
+    return img1, img2
+
+
+@pytest.mark.parametrize("matcher", ["asw", "sgm"])
+def test_quality_preset_recovers_shift(rng, matcher):
+    from simplestereo_tpu.passive import quality_disparity
+
+    d_true = 3
+    img1, img2 = _shift_scene(rng, d_true=d_true)
+    kw = dict(matcher=matcher, min_disp=0, max_disp=6)
+    if matcher == "asw":
+        kw.update(win_size=7)
+    disp = quality_disparity(img1, img2, **kw)
+    assert disp.shape == img1.shape[:2]
+    assert disp.dtype == np.float32
+    assert np.isfinite(disp).all()          # dense: no invalid markers
+    inner = disp[4:-4, 8:-4]
+    # sub-pixel float output centered on the true shift
+    assert abs(np.median(inner) - d_true) < 0.5
+    assert (np.abs(inner - d_true) < 1.0).mean() > 0.9
+
+
+def test_quality_preset_validates_inputs(rng):
+    from simplestereo_tpu.passive import quality_disparity
+
+    img1, img2 = _shift_scene(rng)
+    with pytest.raises(ValueError):
+        quality_disparity(img1[..., 0], img2[..., 0])
+    with pytest.raises(ValueError):
+        quality_disparity(img1, img2, matcher="magic")
+
+
+@pytest.mark.slow
+def test_quality_preset_sgm_tsukuba_gate(ref_res):
+    """The preset's sgm point must reproduce the measured dense-quality
+    gate (2.83% bad-2.0 / 0.44 px avgerr at lambda=2)."""
+    from simplestereo_tpu.imgio import imread
+    from simplestereo_tpu.passive import quality_disparity
+    from simplestereo_tpu.evaluation import evaluate_disparity, tsukuba_scale
+
+    d = ref_res / "tsukuba"
+    left = imread(str(d / "tsukuba_l.png"))
+    right = imread(str(d / "tsukuba_r.png"))
+    gt = imread(str(d / "groundtruth.png"), grayscale=True)
+    nonocc = imread(str(d / "nonocc.png"), grayscale=True) > 0
+
+    disp = quality_disparity(left, right, 0, 15, matcher="sgm")
+    r = evaluate_disparity(disp, gt, nonocc, bad_thresholds=(2.0,),
+                           gt_scale=tsukuba_scale)
+    assert r["bad2"] <= 0.032, r["bad2"]
+    assert r["avgerr"] <= 0.50, r["avgerr"]
