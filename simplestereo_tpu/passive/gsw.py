@@ -79,9 +79,14 @@ def _mi_cost_table(q1, q2, disp, valid, *, bins):
     ok = valid & (xs - disp >= 0) & (xs - disp <= W - 1)
 
     eps = 1e-7
-    flat = jnp.where(ok, q1 * bins + q2m, bins * bins)  # overflow bucket
-    hist = jnp.zeros((bins * bins + 1,), jnp.float32).at[
-        flat.reshape(-1)].add(1.0)[:-1].reshape(bins, bins)
+    # Joint histogram as a one-hot matmul (hist[i, j] = #{p : q1 = i,
+    # q2m = j, ok}): TPU lowers scatter-add to a slow sequential loop
+    # (measured ~3 ms/frame on Tsukuba, and it serializes under vmap);
+    # the (HW, bins)^T @ (HW, bins) product rides the MXU and batches.
+    # Exact: 0/1 inputs are bf16-exact and the MXU accumulates in f32.
+    e1 = jax.nn.one_hot(q1.reshape(-1), bins, dtype=jnp.float32)
+    e2 = jax.nn.one_hot(q2m.reshape(-1), bins, dtype=jnp.float32)
+    hist = (e1 * ok.reshape(-1, 1)).T @ e2
     n = jnp.maximum(hist.sum(), 1.0)
     P12 = hist / n
     h12 = -_parzen(jnp.log(_parzen(P12) + eps))
@@ -221,6 +226,31 @@ def _quantize_gray(img, bins):
     return jnp.clip((g * bins / 256.0).astype(jnp.int32), 0, bins - 1)
 
 
+def _mi_cost_maps(q1, q2, table, *, min_disp, max_disp, bins):
+    """Per-candidate MI cost maps ``M_d(y, x) = T'[q1(y,x), q2(y,x-d)]``
+    for d = min_disp..max_disp, zero where column ``x - d`` leaves the
+    image; ``T' = table - min(table)`` (non-negative, so zero-padded
+    out-of-image window pixels stay neutral — the SD pass's border
+    semantics).
+
+    One-hot selection form instead of per-d table gathers: ``A =
+    onehot(q1) @ T'`` selects each pixel's table row (HIGHEST matmul
+    precision keeps T' f32 through the MXU — a one-hot selection is then
+    exact, bit-identical to the gather), and ``M_d = sum_j A[..., j] *
+    shift(onehot(q2), d)[..., j]`` — the zero-filled shift of the one-hot
+    stack doubles as the candidate-validity mask. TPU lowers the D
+    gathers of the direct form to a slow path (~0.5 ms each on Tsukuba)
+    and they serialize under vmap; this form is streaming vector math.
+    """
+    flat_t = table - table.min()
+    e1 = jax.nn.one_hot(q1, bins, dtype=jnp.float32)       # (H, W, bins)
+    A = jnp.einsum("hwb,bc->hwc", e1, flat_t,
+                   precision=jax.lax.Precision.HIGHEST)
+    e2 = jax.nn.one_hot(q2, bins, dtype=jnp.float32)
+    return [(A * _shift_tgt(e2, min_disp + dd)).sum(-1)
+            for dd in range(max_disp - min_disp + 1)]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("win_size", "min_disp", "max_disp", "bins"))
@@ -233,20 +263,15 @@ def _gsw_mi_step(w, q1, q2, disp_prev, *, win_size, min_disp, max_disp,
     MI iteration.
     """
     H, W = q1.shape
-    D = max_disp - min_disp + 1
 
     table = _mi_cost_table(q1, q2, disp_prev, disp_prev >= 0, bins=bins)
-    # Shift to non-negative so zero-padded (out-of-image) window pixels
-    # stay neutral, mirroring the SD pass's border semantics.
-    flat_t = (table - table.min()).reshape(-1)
+    maps = _mi_cost_maps(q1, q2, table, min_disp=min_disp,
+                         max_disp=max_disp, bins=bins)
 
     xs = jnp.arange(W)[None, :]
     costs = []
-    for dd in range(D):
+    for dd, M in enumerate(maps):
         d = min_disp + dd
-        q2s = _shift_tgt(q2, d)
-        M = flat_t[q1 * bins + q2s]
-        M = jnp.where((xs - d >= 0) & (xs - d <= W - 1), M, 0.0)
         c = jnp.sum(w * _window_shifts(M, win_size, 0.0), axis=0)
         costs.append(
             jnp.where((xs - d >= 0) & (xs - d <= W - 1), c, jnp.inf))
@@ -276,10 +301,12 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
     reference's raw weighted sum.
 
     engine: "auto" — the Pallas kernel (:mod:`.gsw_pallas`, ~O(win^2)
-    less HBM traffic) on TPU for the plain "sd" cost, the fused-XLA form
-    otherwise; "pallas" / "xla" force a path ("pallas" runs in
-    interpreter mode off-TPU unless ``interpret`` is set). The "mi" cost
-    and ``normalize`` stay on the XLA path.
+    less HBM traffic) on TPU for the "sd" cost and (round 4) for the
+    "mi" cost (the per-pixel MI table build stays XLA; the window
+    aggregation and every MI iteration of both matching directions fuse
+    into one kernel program), the fused-XLA form otherwise; "pallas" /
+    "xla" force a path ("pallas" runs in interpreter mode off-TPU unless
+    ``interpret`` is set). ``normalize`` stays on the XLA path.
     """
     if engine not in ("auto", "pallas", "xla"):
         raise ValueError("engine must be 'auto', 'pallas' or 'xla'!")
@@ -287,12 +314,18 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
         raise ValueError("step must be >= 1!")
     if step > 1 and cost_method == "mi":
         raise ValueError("step > 1 requires cost_method='sd'!")
-    pallas_able = cost_method == "sd" and not normalize
+    pallas_able = not normalize
     if engine == "pallas" and not pallas_able:
-        raise ValueError(
-            "engine='pallas' supports cost_method='sd' without normalize!")
+        raise ValueError("engine='pallas' does not support normalize!")
     if pallas_able and (engine == "pallas" or (
             engine == "auto" and jax.default_backend() == "tpu")):
+        if cost_method == "mi":
+            from .gsw_pallas import gsw_mi_disparity_pallas
+            return gsw_mi_disparity_pallas(
+                img1, img2, win_size=win_size, max_disp=max_disp,
+                min_disp=min_disp, gamma=gamma, bins=bins,
+                mi_iterations=mi_iterations, consistent=consistent,
+                interpret=interpret)
         from .gsw_pallas import gsw_disparity_pallas
         return gsw_disparity_pallas(
             img1, img2, win_size=win_size, max_disp=max_disp,
@@ -410,11 +443,20 @@ class StereoGSW:
                 or imgs1.shape != imgs2.shape:
             raise ValueError(
                 "Batches must be (B, H, W, 3) BGR with identical shapes!")
-        pallas_able = self.costMethod == "sd" and not self.normalize
+        pallas_able = not self.normalize and (
+            self.costMethod == "sd" or self.step == 1)
         if pallas_able and (self.engine == "pallas" or (
                 self.engine == "auto" and jax.default_backend() == "tpu")):
             # A vmapped pallas_call cannot lower on real TPU: the batch
             # rides the kernel's leading grid axis instead (one launch).
+            if self.costMethod == "mi":
+                from .gsw_pallas import gsw_mi_disparity_pallas_batch
+                return np.asarray(gsw_mi_disparity_pallas_batch(
+                    imgs1, imgs2, win_size=self.winSize,
+                    max_disp=self.maxDisparity,
+                    min_disp=self.minDisparity, gamma=float(self.gamma),
+                    bins=self.bins, mi_iterations=self.miIterations,
+                    consistent=self.consistent))
             from .gsw_pallas import gsw_disparity_pallas_batch
             return np.asarray(gsw_disparity_pallas_batch(
                 imgs1, imgs2, win_size=self.winSize,

@@ -175,10 +175,11 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
         shift = pad - j  # negative amounts tied to the OUTER fori var
         rolled = [pltpu.roll(slab[c], shift, axis=1) for c in range(3)]
         if D <= _D_UNROLL:
-            vol_j = [pltpu.roll(vol[dd], shift, axis=1) for dd in range(D)]
+            vol_j = [pltpu.roll(vol_read(dd), shift, axis=1)
+                     for dd in range(D)]
         else:
             def roll_vol(dd, _):
-                volr[dd] = pltpu.roll(vol[dd], shift, axis=1)
+                volr[dd] = pltpu.roll(vol_read(dd), shift, axis=1)
                 return 0
             jax.lax.fori_loop(0, D, roll_vol, 0)
 
@@ -215,24 +216,27 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "win_size", "min_disp", "max_disp", "gamma",
-                     "f_max", "interpret", "tile_h", "step"))
+                     "f_max", "interpret", "tile_h", "step", "ext_vol"))
 def _gsw_pass_pallas(planes, *, H, W, win_size, min_disp, max_disp, gamma,
-                     f_max, interpret, tile_h, step=1):
+                     f_max, interpret, tile_h, step=1, ext_vol=False):
     """One matching direction. planes: (6, Hp, w_slab) f32 padded, or
     (B, 6, Hp, w_slab) — the batch rides a leading grid axis in the same
-    launch (never vmap around a pallas_call: it cannot lower on TPU)."""
+    launch (never vmap around a pallas_call: it cannot lower on TPU).
+    ``ext_vol``: planes carry (3 + D) planes — BGR(ref) + a pre-built
+    cost volume (the MI path)."""
     batched = planes.ndim == 4
     pad = win_size // 2
     D = max_disp - min_disp + 1
     w_acc, w_slab = _layout(W, win_size)
     n_bands = -(-H // tile_h)
     sr = _slab_rows(win_size, tile_h)
+    n_planes = (3 + D) if ext_vol else 6
 
     kernel = functools.partial(
         _gsw_kernel, pad=pad, w_acc=w_acc, w_slab=w_slab,
         min_disp=min_disp, max_disp=max_disp, gamma=float(gamma),
         f_max=float(f_max), win_size=win_size, tile_h=tile_h, width=W,
-        batched=batched, step=step)
+        batched=batched, step=step, ext_vol=ext_vol)
 
     if batched:
         B = planes.shape[0]
@@ -257,8 +261,9 @@ def _gsw_pass_pallas(planes, *, H, W, win_size, min_disp, max_disp, gamma,
         out_specs=out_spec,
         out_shape=out_struct,
         scratch_shapes=[
-            pltpu.VMEM((6, sr, w_slab), jnp.float32),
-            pltpu.VMEM((D, sr, w_slab), jnp.float32),
+            pltpu.VMEM((n_planes, sr, w_slab), jnp.float32),
+            pltpu.VMEM(((1, 8, 128) if ext_vol else (D, sr, w_slab)),
+                       jnp.float32),
             pltpu.VMEM(((D, sr, w_slab) if D > _D_UNROLL else (1, 8, 128)),
                        jnp.float32),
             pltpu.VMEM((D, tile_h, w_acc), jnp.float32),
@@ -292,6 +297,32 @@ def _build_planes(img1, img2, win_size, tile_h):
 
     return jnp.concatenate([pack(img1, BGR_SENTINEL), pack(img2, 0.0)],
                            axis=0)
+
+
+def _pack_planes(chw, win_size, tile_h, H, W, fill):
+    """(C, H, W) f32 -> (C, Hp, w_slab) padded with ``fill`` (the slab
+    layout of :func:`_build_planes`, channel-leading input)."""
+    pad = win_size // 2
+    w_acc, w_slab = _layout(W, win_size)
+    n_bands = -(-H // tile_h)
+    h_slab = (n_bands - 1) * tile_h + _slab_rows(win_size, tile_h)
+    return jnp.pad(chw.astype(jnp.float32),
+                   ((0, 0), (pad, h_slab - H - pad),
+                    (pad, w_slab - W - pad)), constant_values=fill)
+
+
+def _mi_volume(q1, q2, disp_prev, *, min_disp, max_disp, bins):
+    """Pre-built MI cost volume (D, H, W), zero-masked where the
+    candidate column leaves the image — the per-pixel table-lookup half
+    of the XLA :func:`simplestereo_tpu.passive.gsw._gsw_mi_step`; the
+    window aggregation half runs in the Pallas kernel (``ext_vol``).
+    One-hot selection form (see ``gsw._mi_cost_maps``): bit-identical to
+    the gather form, ~4x cheaper on TPU, batches under vmap."""
+    from .gsw import _mi_cost_maps, _mi_cost_table
+
+    table = _mi_cost_table(q1, q2, disp_prev, disp_prev >= 0, bins=bins)
+    return jnp.stack(_mi_cost_maps(q1, q2, table, min_disp=min_disp,
+                                   max_disp=max_disp, bins=bins))
 
 
 def _empty_range(disp, W, min_disp):
@@ -410,3 +441,184 @@ def gsw_disparity_pallas_batch(imgs1, imgs2, win_size=11, max_disp=16,
         max_disp=int(max_disp), min_disp=int(min_disp), gamma=float(gamma),
         f_max=float(f_max), consistent=bool(consistent),
         interpret=bool(interpret), step=int(step))
+
+
+# --------------------------------------------------------------------------
+# Mutual-information cost on the kernel (round 4)
+# --------------------------------------------------------------------------
+# The MI cost (the reference's unimplemented TODO, _passive.cpp:506-508)
+# splits cleanly: the per-pixel cost is a (bins x bins) table lookup built
+# from a GLOBAL joint histogram of the previous matching — O(H*W) gathers
+# and one scatter-add, cheap XLA work — while the O(win^2 * D) window
+# aggregation is exactly the SD kernel's walk with the volume swapped.
+# So the kernel takes the pre-built volume (``ext_vol``) and the whole MI
+# refinement (every iteration, both matching directions stacked on the
+# frame-grid axis) fuses into ONE device program.
+
+def _mi_ref_planes(img, win_size, tile_h, H, W):
+    chw = jnp.transpose(img.astype(jnp.float32), (2, 0, 1))
+    return _pack_planes(chw, win_size, tile_h, H, W, BGR_SENTINEL)
+
+
+def _mi_iter_steps(mi_iterations, coarse_step):
+    """Per-iteration window-walk strides: intermediate matchings only
+    feed the GLOBAL joint histogram (an intensity statistic, not
+    geometry), so they tolerate the kernel's subsampled-window ``step``
+    mode; the final aggregation is always exact (step=1)."""
+    return [coarse_step] * (mi_iterations - 1) + [1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_size", "max_disp", "min_disp", "gamma", "bins",
+                     "mi_iterations", "consistent", "interpret",
+                     "coarse_step"))
+def _gsw_mi_disparity_jit(img1, img2, *, win_size, max_disp, min_disp,
+                          gamma, bins, mi_iterations, consistent,
+                          interpret, coarse_step=1):
+    from .gsw import _quantize_gray
+
+    H, W = img1.shape[:2]
+    D = max_disp - min_disp + 1
+    tile_h = _pick_tile_h(H, W, win_size, D, ext_vol=True)
+    kw = dict(H=H, W=W, win_size=win_size, min_disp=min_disp,
+              max_disp=max_disp, gamma=gamma, f_max=0.0,
+              interpret=interpret, tile_h=tile_h, ext_vol=True)
+    mkw = dict(min_disp=min_disp, max_disp=max_disp, bins=bins)
+    xs = jnp.arange(W)[None, :]
+
+    q1 = _quantize_gray(img1, bins)
+    q2 = _quantize_gray(img2, bins)
+    # Random bootstrap (Hirschmuller 2008 §2.1) — same key as the XLA
+    # path (gsw.gsw_disparity) for exact cross-engine parity.
+    disp0 = jax.random.randint(
+        jax.random.PRNGKey(0), (H, W), min_disp, max_disp + 1,
+        dtype=jnp.int32)
+    steps = _mi_iter_steps(mi_iterations, coarse_step)
+
+    def pack_vol(vol):
+        return _pack_planes(vol, win_size, tile_h, H, W, 0.0)
+
+    if not consistent:
+        rp = _mi_ref_planes(img1, win_size, tile_h, H, W)
+        disp = disp0
+        for st in steps:
+            planes = jnp.concatenate(
+                [rp, pack_vol(_mi_volume(q1, q2, disp, **mkw))])
+            disp = jnp.where(xs < min_disp, xs,
+                             _gsw_pass_pallas(planes, step=st, **kw))
+        return disp.astype(jnp.int16)
+
+    # Consistent: both matching directions' refinements ride the kernel's
+    # frame-grid axis — one launch per MI iteration.
+    q1R, q2R = q2[:, ::-1], q1[:, ::-1]
+    rpL = _mi_ref_planes(img1, win_size, tile_h, H, W)
+    rpR = _mi_ref_planes(img2[:, ::-1], win_size, tile_h, H, W)
+    dispL = dispR = disp0
+    for st in steps:
+        planes = jnp.stack([
+            jnp.concatenate([rpL, pack_vol(_mi_volume(q1, q2, dispL,
+                                                      **mkw))]),
+            jnp.concatenate([rpR, pack_vol(_mi_volume(q1R, q2R, dispR,
+                                                      **mkw))])])
+        disp2 = _gsw_pass_pallas(planes, step=st, **kw)
+        dispL = jnp.where(xs < min_disp, xs, disp2[0])
+        dispR = jnp.where(xs < min_disp, xs, disp2[1])
+    return _lr_finish(dispL, dispR[:, ::-1], W=W, min_disp=min_disp)
+
+
+def gsw_mi_disparity_pallas(img1, img2, win_size=11, max_disp=16,
+                            min_disp=0, gamma=10.0, bins=20,
+                            mi_iterations=2, consistent=False,
+                            interpret=None, coarse_step=1):
+    """GSW disparity with the mutual-information cost on the Pallas
+    kernel (TPU production path for ``cost_method="mi"``).
+
+    Semantics match the XLA form (:func:`gsw.gsw_disparity` with
+    ``cost_method="mi"``): same random bootstrap, per-iteration global
+    joint-histogram table, geodesic-weight aggregation, smallest-d
+    tie-break. The whole refinement is one device program.
+
+    ``coarse_step`` > 1 subsamples the window walk of the INTERMEDIATE
+    MI iterations only (the final aggregation is always exact): those
+    matchings exist solely to estimate the global joint histogram, which
+    is insensitive to per-pixel matching noise, so the full-resolution
+    aggregation runs once instead of ``mi_iterations`` times."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    return _gsw_mi_disparity_jit(
+        jnp.asarray(img1), jnp.asarray(img2), win_size=int(win_size),
+        max_disp=int(max_disp), min_disp=int(min_disp), gamma=float(gamma),
+        bins=int(bins), mi_iterations=int(mi_iterations),
+        consistent=bool(consistent), interpret=bool(interpret),
+        coarse_step=int(coarse_step))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_size", "max_disp", "min_disp", "gamma", "bins",
+                     "mi_iterations", "consistent", "interpret",
+                     "coarse_step"))
+def _gsw_mi_batch_jit(imgs1, imgs2, *, win_size, max_disp, min_disp,
+                      gamma, bins, mi_iterations, consistent, interpret,
+                      coarse_step=1):
+    from .gsw import _quantize_gray
+
+    B, H, W = imgs1.shape[:3]
+    D = max_disp - min_disp + 1
+    tile_h = _pick_tile_h(H, W, win_size, D, ext_vol=True)
+    kw = dict(H=H, W=W, win_size=win_size, min_disp=min_disp,
+              max_disp=max_disp, gamma=gamma, f_max=0.0,
+              interpret=interpret, tile_h=tile_h, ext_vol=True)
+    mkw = dict(min_disp=min_disp, max_disp=max_disp, bins=bins)
+    xs = jnp.arange(W)[None, :]
+    steps = _mi_iter_steps(mi_iterations, coarse_step)
+
+    q1 = jax.vmap(lambda a: _quantize_gray(a, bins))(imgs1)
+    q2 = jax.vmap(lambda a: _quantize_gray(a, bins))(imgs2)
+    disp0 = jax.random.randint(
+        jax.random.PRNGKey(0), (H, W), min_disp, max_disp + 1,
+        dtype=jnp.int32)
+
+    ref = jax.vmap(lambda a: _mi_ref_planes(a, win_size, tile_h, H, W))
+    vmi = jax.vmap(lambda a, b, d: _mi_volume(a, b, d, **mkw))
+    vpk = jax.vmap(lambda v: _pack_planes(v, win_size, tile_h, H, W, 0.0))
+    er = jax.vmap(lambda d: jnp.where(xs < min_disp, xs, d))
+
+    if not consistent:
+        rp = ref(imgs1)
+        disp = jnp.broadcast_to(disp0, (B, H, W))
+        for st in steps:
+            planes = jnp.concatenate([rp, vpk(vmi(q1, q2, disp))], axis=1)
+            disp = er(_gsw_pass_pallas(planes, step=st, **kw))
+        return disp.astype(jnp.int16)
+
+    q1R, q2R = q2[:, :, ::-1], q1[:, :, ::-1]
+    rp = jnp.concatenate([ref(imgs1), ref(imgs2[:, :, ::-1])])
+    dispLR = jnp.broadcast_to(disp0, (2 * B, H, W))
+    qa = jnp.concatenate([q1, q1R])
+    qb = jnp.concatenate([q2, q2R])
+    for st in steps:
+        planes = jnp.concatenate([rp, vpk(vmi(qa, qb, dispLR))], axis=1)
+        dispLR = er(_gsw_pass_pallas(planes, step=st, **kw))
+    dispL = dispLR[:B]
+    dispR = dispLR[B:][:, :, ::-1]
+    return jax.vmap(
+        functools.partial(_lr_finish, W=W, min_disp=min_disp))(dispL, dispR)
+
+
+def gsw_mi_disparity_pallas_batch(imgs1, imgs2, win_size=11, max_disp=16,
+                                  min_disp=0, gamma=10.0, bins=20,
+                                  mi_iterations=2, consistent=False,
+                                  interpret=None, coarse_step=1):
+    """Batched :func:`gsw_mi_disparity_pallas`: (B, H, W, 3) stacks,
+    one kernel launch per MI iteration for the whole stack (both
+    matching directions included when ``consistent``)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    return _gsw_mi_batch_jit(
+        jnp.asarray(imgs1), jnp.asarray(imgs2), win_size=int(win_size),
+        max_disp=int(max_disp), min_disp=int(min_disp), gamma=float(gamma),
+        bins=int(bins), mi_iterations=int(mi_iterations),
+        consistent=bool(consistent), interpret=bool(interpret),
+        coarse_step=int(coarse_step))

@@ -79,8 +79,6 @@ def test_engine_dispatch_and_validation(rng):
     img1, img2 = _pair(rng, 12, 24)
     # 'pallas' rejects the XLA-only modes instead of silently falling back
     with pytest.raises(ValueError):
-        gsw_disparity(img1, img2, engine="pallas", cost_method="mi")
-    with pytest.raises(ValueError):
         gsw_disparity(img1, img2, engine="pallas", normalize=True)
     with pytest.raises(ValueError):
         gsw_disparity(img1, img2, engine="nope")
@@ -97,6 +95,88 @@ def test_engine_dispatch_and_validation(rng):
     # batched class path (grid batching, never vmap-of-pallas)
     db = StereoGSW(winSize=5, maxDisparity=4, engine="pallas").computeBatch(
         np.stack([img1, img1]), np.stack([img2, img2]))
+    np.testing.assert_array_equal(db[0], d)
+    np.testing.assert_array_equal(db[1], d)
+
+
+# --------------------------------------------------------------------------
+# Mutual-information cost on the kernel (ext_vol path, round 4)
+# --------------------------------------------------------------------------
+
+MI_CASES = [
+    # (h, w, win, min_disp, max_disp, consistent)
+    (20, 40, 5, 0, 4, False),
+    (24, 52, 7, 2, 9, True),
+    (17, 33, 5, -3, 4, True),        # negative minDisparity (marker path)
+    (16, 48, 3, 0, 20, False),       # D>16: fori roll path with ext_vol
+]
+
+
+@pytest.mark.parametrize("h,w,win,mind,maxd,cons", MI_CASES)
+def test_mi_pallas_matches_xla_oracle(rng, h, w, win, mind, maxd, cons):
+    """The MI cost on the kernel (pre-built table-lookup volume +
+    ext_vol window walk) against the fused-XLA MI form: same random
+    bootstrap key, so the refinement trajectories coincide up to float
+    near-ties. Unlike SD's integer-separated color costs, MI costs are
+    sums of arbitrary table floats and CAN tie to the last ulp (measured:
+    a 1.2e-7 cost gap on an 800-px frame); the two engines accumulate
+    window offsets in different orders, so a tiny flip rate is intrinsic,
+    not a bug — gate it at 0.5%."""
+    img1, img2 = _pair(rng, h, w)
+    kw = dict(win_size=win, min_disp=mind, max_disp=maxd, gamma=10.0,
+              cost_method="mi", bins=8, mi_iterations=2, consistent=cons)
+    a = np.asarray(gsw_disparity(img1, img2, engine="xla", **kw))
+    b = np.asarray(gsw_disparity(img1, img2, engine="pallas", **kw))
+    assert (a != b).mean() <= 0.005, (a != b).mean()
+
+
+def test_mi_coarse_step_schedule(rng):
+    """coarse_step > 1 subsamples only the INTERMEDIATE iterations'
+    window walk (histogram estimation); the final aggregation is exact.
+    The result must stay close to the exact schedule (the global joint
+    histogram is insensitive to per-pixel matching noise), and
+    mi_iterations=1 must be schedule-invariant (no intermediates)."""
+    from simplestereo_tpu.passive.gsw_pallas import gsw_mi_disparity_pallas
+
+    img1, img2 = _pair(rng, 20, 44)
+    kw = dict(win_size=7, max_disp=5, bins=8, consistent=True)
+    a = np.asarray(gsw_mi_disparity_pallas(img1, img2, mi_iterations=3,
+                                           coarse_step=1, **kw))
+    b = np.asarray(gsw_mi_disparity_pallas(img1, img2, mi_iterations=3,
+                                           coarse_step=2, **kw))
+    assert (a != b).mean() <= 0.02, (a != b).mean()
+    c = np.asarray(gsw_mi_disparity_pallas(img1, img2, mi_iterations=1,
+                                           coarse_step=1, **kw))
+    d = np.asarray(gsw_mi_disparity_pallas(img1, img2, mi_iterations=1,
+                                           coarse_step=3, **kw))
+    np.testing.assert_array_equal(c, d)
+
+
+def test_mi_pallas_batch_matches_single(rng):
+    from simplestereo_tpu.passive.gsw_pallas import (
+        gsw_mi_disparity_pallas, gsw_mi_disparity_pallas_batch)
+
+    imgs1 = rng.integers(0, 256, (3, 16, 40, 3), np.uint8)
+    imgs2 = np.stack([np.roll(a, -2, axis=1) for a in imgs1])
+    for cons in (False, True):
+        b = np.asarray(gsw_mi_disparity_pallas_batch(
+            imgs1, imgs2, win_size=5, max_disp=4, bins=8,
+            consistent=cons))
+        for i in range(3):
+            s = np.asarray(gsw_mi_disparity_pallas(
+                imgs1[i], imgs2[i], win_size=5, max_disp=4, bins=8,
+                consistent=cons))
+            np.testing.assert_array_equal(b[i], s)
+
+
+def test_mi_class_batch_routes_to_kernel(rng, monkeypatch):
+    """StereoGSW(costMethod='mi').computeBatch on the pallas engine must
+    ride the MI grid-batch path and match per-frame compute."""
+    img1, img2 = _pair(rng, 14, 30)
+    m = StereoGSW(winSize=5, maxDisparity=4, costMethod="mi", bins=8,
+                  engine="pallas", consistent=True)
+    d = m.compute(img1, img2)
+    db = m.computeBatch(np.stack([img1, img1]), np.stack([img2, img2]))
     np.testing.assert_array_equal(db[0], d)
     np.testing.assert_array_equal(db[1], d)
 

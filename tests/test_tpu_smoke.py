@@ -262,6 +262,22 @@ def test_gsw_pallas_vs_xla_on_hardware(tpu_ok, rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_gsw_mi_pallas_on_hardware(tpu_ok, rng):
+    """Round 4: the MI cost on the kernel (ext_vol path — pre-built
+    table-lookup volume DMA'd inside the slab, window walk unchanged)
+    must lower and track the XLA MI form on the real chip. MI costs are
+    sums of arbitrary table floats, so hardware exp/sqrt ulp flips CAN
+    occur (unlike SD's integer-separated costs) — gate at 1%."""
+    from simplestereo_tpu.passive.gsw import gsw_disparity
+    img1 = rng.integers(0, 256, (24, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    kw = dict(win_size=7, max_disp=6, min_disp=-2, gamma=12.5,
+              cost_method="mi", bins=8, mi_iterations=2, consistent=True)
+    a = np.asarray(gsw_disparity(img1, img2, engine="xla", **kw))
+    b = np.asarray(gsw_disparity(img1, img2, engine="pallas", **kw))
+    assert (a != b).mean() <= 0.01, (a != b).mean()
+
+
 def test_gsw_pallas_batch_on_hardware(tpu_ok, rng):
     """Batched GSW lowers on real TPU (frame axis + both consistent-mode
     directions on the kernel grid — never vmap-of-pallas) and matches
