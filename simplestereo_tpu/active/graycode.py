@@ -63,6 +63,43 @@ def decode_graycode(patterns, nx, ny, white_thr=5):
     return proj_x, proj_y, valid
 
 
+def _gray_host(img, res):
+    """Host load + grayscale + size check for one capture (cheap numpy;
+    the undistortion happens batched on device — see
+    :func:`_undistort_stack`)."""
+    if isinstance(img, (str, bytes)):
+        from ..imgio import imread
+        img = imread(img, grayscale=True)
+    img = np.asarray(img)
+    if img.ndim == 3:
+        img = (0.114 * img[..., 0] + 0.587 * img[..., 1]
+               + 0.299 * img[..., 2])
+    w, h = res
+    if img.shape != (h, w):
+        raise ValueError("Image size mismatch!")
+    return np.asarray(img, np.float32)
+
+
+def _undistort_stack(imgs_np, K, dist, res):
+    """Undistort a whole (N, H, W) capture stack in ONE device resample.
+
+    The reference undistorts each pattern capture separately
+    (active.py:1197-1205 via cv2.undistort per image — ~40 calls per
+    scan); here the stack rides the channel axis of a single remap
+    (identical per-plane math), turning N host-device round-trips into
+    one. Returns a device-resident (N, H, W) f32 stack. A rig with no
+    distortion skips the resample entirely."""
+    import jax.numpy as jnp  # local: keep module import light
+
+    if dist is None or not np.any(np.asarray(dist)):
+        return jnp.asarray(imgs_np, jnp.float32)
+    w, h = res
+    mapx, mapy = warp.init_undistort_rectify_map(K, dist, None, K, (w, h))
+    und = warp.remap(jnp.transpose(jnp.asarray(imgs_np, jnp.float32),
+                                   (1, 2, 0)), mapx, mapy)
+    return jnp.transpose(und, (2, 0, 1))
+
+
 class GrayCode:
     """Camera-projector Gray-code scanner (parity: active.py:1130-1263).
 
@@ -96,18 +133,12 @@ class GrayCode:
         self.R_inv = R_inv
 
     def _load(self, img):
-        if isinstance(img, (str, bytes)):
-            from ..imgio import imread
-            img = imread(img, grayscale=True)
-        img = np.asarray(img)
-        if img.ndim == 3:
-            img = (0.114 * img[..., 0] + 0.587 * img[..., 1]
-                   + 0.299 * img[..., 2])
-        w, h = self.rig.res1
-        if img.shape != (h, w):
-            raise ValueError("Image size mismatch!")
+        """Load + grayscale + undistort one capture (kept for API
+        compatibility; the decode path batches the undistortion —
+        see :func:`_undistort_stack`)."""
         return np.asarray(warp.undistort_image(
-            img, self.rig.intrinsic1, self.rig.distCoeffs1))
+            _gray_host(img, self.rig.res1),
+            self.rig.intrinsic1, self.rig.distCoeffs1))
 
     def decode(self, images, black=None, white=None):
         """Decode captured pattern images to per-pixel projector coords.
@@ -120,18 +151,22 @@ class GrayCode:
 
         Returns (proj_x, proj_y, valid) numpy arrays (H, W).
         """
-        imgs = np.stack([self._load(i)
-                         for i in images[: self.num_patterns]])
+        res1 = self.rig.res1
+        imgs = [_gray_host(i, res1) for i in images[: self.num_patterns]]
+        shadow = black is not None and white is not None
+        if shadow:
+            imgs += [_gray_host(black, res1), _gray_host(white, res1)]
+        und = _undistort_stack(np.stack(imgs), self.rig.intrinsic1,
+                               self.rig.distCoeffs1, res1)
         px, py, valid = decode_graycode(
-            jnp.asarray(imgs), nx=self.nx, ny=self.ny,
+            und[: self.num_patterns], nx=self.nx, ny=self.ny,
             white_thr=self.white_thr)
         px, py, valid = map(np.asarray, (px, py, valid))
         w2, h2 = self.rig.res2
         valid = valid & (px < w2) & (py < h2)
-        if black is not None and white is not None:
+        if shadow:
             # strict >, matching cv2 computeShadowMasks semantics
-            lit = (self._load(white).astype(np.float32)
-                   - self._load(black).astype(np.float32)) > self.black_thr
+            lit = np.asarray(und[-1] - und[-2]) > self.black_thr
             valid = valid & lit
         return px, py, valid
 
@@ -198,29 +233,27 @@ class GrayCodeDouble:
         R_inv[:3, :3] = np.linalg.inv(commonR)
         self.R_inv = R_inv
 
-    def _load_one(self, im, K, dist):
-        from ..imgio import imread
-        if isinstance(im, (str, bytes)):
-            im = imread(im, grayscale=True)
-        im = np.asarray(im)
-        if im.ndim == 3:
-            im = (0.114 * im[..., 0] + 0.587 * im[..., 1]
-                  + 0.299 * im[..., 2])
-        return np.asarray(warp.undistort_image(im, K, dist))
+    def _load_one(self, im, K, dist, res):
+        """Single-capture load + undistort (API-compat; the decode path
+        batches the undistortion — see :func:`_undistort_stack`)."""
+        return np.asarray(warp.undistort_image(_gray_host(im, res), K,
+                                               dist))
 
     def _decode_cam(self, images, K, dist, res, black=None, white=None):
-        imgs = [self._load_one(im, K, dist)
+        imgs = [_gray_host(im, res)
                 for im in images[: self.num_patterns]]
+        shadow = black is not None and white is not None
+        if shadow:
+            imgs += [_gray_host(black, res), _gray_host(white, res)]
+        und = _undistort_stack(np.stack(imgs), K, dist, res)
         px, py, valid = decode_graycode(
-            jnp.asarray(np.stack(imgs)), nx=self.nx, ny=self.ny,
+            und[: self.num_patterns], nx=self.nx, ny=self.ny,
             white_thr=self.white_thr)
         px, py, valid = map(np.asarray, (px, py, valid))
         valid = valid & (px < self.projRes[0]) & (py < self.projRes[1])
-        if black is not None and white is not None:
+        if shadow:
             # strict >, matching cv2 computeShadowMasks semantics
-            lit = (self._load_one(white, K, dist).astype(np.float32)
-                   - self._load_one(black, K, dist).astype(np.float32)
-                   ) > self.black_thr
+            lit = np.asarray(und[-1] - und[-2]) > self.black_thr
             valid = valid & lit
         return px, py, valid
 
