@@ -191,10 +191,12 @@ def _dense_cloud_device(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("res", "roi", "gray_mode", "debug"))
+                   static_argnames=("res", "roi", "gray_mode", "debug",
+                                    "out_dtype"))
 def _ftp_cloud_fused(img_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
                      stripe_idx, peak, fp, ep, Rect1, Rect2, R_inv3,
-                     baseline, *, res, roi, gray_mode, debug=False):
+                     baseline, *, res, roi, gray_mode, debug=False,
+                     out_dtype=None):
     """The whole post-stripe FTP pipeline as ONE device program:
     grayscale conversion, projector mapping + virtual reference, row-FFT
     band-pass phase, 2-D unwrap, fringe-order k from the stripe, dense
@@ -227,6 +229,12 @@ def _ftp_cloud_fused(img_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
     cloud = _dense_cloud_device(
         proj_coords, pu, k, ep, fp, K2, dist2, Rect1, Rect2, R_inv3,
         baseline, roi=roi)
+    if out_dtype is not None:
+        # cast ON DEVICE: the cloud readback is the pipeline's single
+        # largest cost (measured 115 ms f32 vs 71 ms f16 at 640x480 over
+        # the ~26 MB/s host link — benchmarks/ftp_breakdown.py), so the
+        # link bytes must halve before the transfer, not after.
+        cloud = cloud.astype(out_dtype)
     if not debug:
         return cloud
     # Debug introspection (the reference's only FTP instrumentation is
@@ -478,7 +486,8 @@ class StereoFTP:
                     gray_mode=gray_mode)
 
     def getCloud(self, imgObj, radius_factor=0.5, roi=None,
-                 unwrappingMethod=None, plot=False, dump=None):
+                 unwrappingMethod=None, plot=False, dump=None,
+                 out_dtype=None):
         """Process one camera image into a point cloud
         (roi_h, roi_w, 3). Parity: active.py:608-841.
 
@@ -488,6 +497,14 @@ class StereoFTP:
         frames, the wrapped and unwrapped phase maps, the per-row band
         edges and the fringe order k; ``plot=True`` shows the same
         panels interactively, ``plot="path.png"`` saves them (headless).
+
+        out_dtype : optional numpy dtype for the returned cloud. Default
+            (None) keeps the reference's float64. ``np.float16`` halves
+            the device->host transfer — the single largest cost of the
+            fused path on a remote-device link (115 -> 71 ms at 640x480,
+            benchmarks/ftp_breakdown.py) — by casting on device; at
+            typical scan depths (z ~ 2-4 m in mm units) f16 quantizes z
+            to 1-2 mm, comparable to the phase noise floor.
         """
         rig = self.stereoRig
         debug = bool(plot) or dump is not None
@@ -518,7 +535,9 @@ class StereoFTP:
                 jnp.asarray(self.R_inv[:3, :3], jnp.float32),
                 jnp.float32(rig.getBaseline()),
                 res=tuple(rig.res1), roi=tuple(int(v) for v in roi),
-                gray_mode=gray_mode, debug=debug)
+                gray_mode=gray_mode, debug=debug,
+                out_dtype=(None if out_dtype is None
+                           else np.dtype(out_dtype).name))
             if debug:
                 finalPoints, dbg = out
                 dbg = {kk: np.asarray(v) for kk, v in dbg.items()}
@@ -530,7 +549,8 @@ class StereoFTP:
                     _render_ftp_debug(dbg, plot)
             else:
                 finalPoints = out
-            return np.asarray(finalPoints, np.float64)
+            return np.asarray(finalPoints,
+                              np.float64 if out_dtype is None else None)
 
         # custom unwrapping callback: staged path with a host round-trip
         imgObj_gray = self.convertGrayscaleDevice(imgObj)
@@ -582,6 +602,9 @@ class StereoFTP:
             jnp.asarray(self.Rectify2, jnp.float32),
             jnp.asarray(self.R_inv[:3, :3], jnp.float32),
             jnp.float32(rig.getBaseline()), roi=tuple(int(v) for v in roi))
+        if out_dtype is not None:
+            return np.asarray(jax.device_get(
+                finalPoints.astype(np.dtype(out_dtype).name)))
         return np.asarray(finalPoints, np.float64)
 
 

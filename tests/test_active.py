@@ -243,6 +243,23 @@ def test_ftp_recovers_plane(ftp_scene):
         < 0.05 * ftp_scene["z0"]
 
 
+def test_ftp_out_dtype_f16(ftp_scene):
+    """out_dtype=np.float16 casts the cloud ON DEVICE (halving the
+    device->host transfer, the fused path's largest cost on a remote
+    link) — values must match the f64 path within f16 quantization."""
+    ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],
+                    ftp_scene["period"])
+    c64 = ftp.getCloud(ftp_scene["cam_img"])
+    c16 = ftp.getCloud(ftp_scene["cam_img"], out_dtype=np.float16)
+    assert c16.dtype == np.float16
+    both = np.isfinite(c64[..., 2]) & np.isfinite(
+        c16[..., 2].astype(np.float64))
+    assert both.mean() > 0.95
+    dz = np.abs(c64[..., 2] - c16[..., 2].astype(np.float64))[both]
+    # f16 ulp at z ~ 520 is 0.5; allow 2 ulps
+    assert dz.max() <= 1.0, dz.max()
+
+
 def test_ftp_rejects_gray_image(ftp_scene):
     ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],
                     ftp_scene["period"])
