@@ -124,6 +124,102 @@ def _tpu_strong_scaling(args, report):
               f"eff={eff:.1%}", file=sys.stderr)
 
 
+def _tpu_aggregate(args, report):
+    """All N shards as ONE dispatch (VERDICT r3 item 5).
+
+    The per-shard table above pays the ~20-25 ms tunnel dispatch once
+    PER SHARD, so its N=8 efficiency needed an estimated dispatch
+    correction. Here the N shard programs (context mode, same shapes the
+    mesh would run) are stacked on the batched kernel's frame-grid axis
+    and timed as a single dispatch: T_agg(N) is the total chip time of
+    the N-shard step with per-call overhead paid ONCE — the quantity a
+    real pod overlaps across devices. Aggregate efficiency =
+    T(1) / T_agg(N): halo + band-quantization overhead only, measured,
+    no estimated delta. Also asserts shard-assembly bit-parity vs the
+    single-frame kernel on the real chip.
+    """
+    import jax.numpy as jnp
+    from simplestereo_tpu.passive.asw_pallas import (asw_disparity,
+                                                     asw_disparity_batch)
+
+    halo = args.win // 2
+    H, W = args.height, args.width
+    rng = np.random.default_rng(0)
+    kw = dict(win_size=args.win, min_disp=args.min_disp,
+              max_disp=args.max_disp, gamma_c=15.0, gamma_p=17.5,
+              consistent=True)
+
+    frames = [rng.integers(0, 256, (H, W, 3), np.uint8) for _ in range(5)]
+    tgts = [np.roll(f, -5, axis=1) for f in frames]
+
+    # single-frame baseline
+    f1 = [jnp.asarray(f) for f in frames]
+    t1d = [jnp.asarray(t) for t in tgts]
+    for x in f1 + t1d:
+        x.block_until_ready()
+    np.asarray(asw_disparity(f1[0], t1d[0], **kw))
+    times = []
+    for x, t in zip(f1, t1d):
+        t0 = time.perf_counter()
+        np.asarray(asw_disparity(x, t, **kw))
+        times.append(time.perf_counter() - t0)
+    t1 = float(np.median(times))
+    report["points"].append({"devices": 1, "one_dispatch_ms":
+                             round(t1 * 1e3, 2),
+                             "aggregate_efficiency": 1.0})
+    print(f"single frame: {t1 * 1e3:8.2f} ms", file=sys.stderr)
+
+    def shard_stack(frame):
+        """(N, rows, W, 3) context-mode shard stack of one frame
+        (halo rows replicated from neighbors; edge shards mirror the
+        kernel's sentinel handling via row_valid)."""
+        pad = np.pad(frame, ((halo, halo), (0, 0), (0, 0)))
+        sh = H // n
+        stack = np.stack([pad[i * sh: i * sh + sh + 2 * halo]
+                          for i in range(n)])
+        rv = np.ones((n, sh + 2 * halo), bool)
+        rv[0, :halo] = False
+        rv[-1, sh + halo:] = False
+        return stack, rv
+
+    for n in args.devices:
+        if n == 1 or H % n:
+            continue
+        stacks = [shard_stack(f) for f in frames]
+        tstacks = [shard_stack(t)[0] for t in tgts]
+        rv = jnp.asarray(stacks[0][1])
+        s1 = [jnp.asarray(s[0]) for s in stacks]
+        s2 = [jnp.asarray(t) for t in tstacks]
+        for x in s1 + s2:
+            x.block_until_ready()
+        np.asarray(asw_disparity_batch(s1[0], s2[0], row_valid=rv,
+                                       context=True, **kw))
+        times = []
+        for a, b in zip(s1, s2):
+            t0 = time.perf_counter()
+            np.asarray(asw_disparity_batch(a, b, row_valid=rv,
+                                           context=True, **kw))
+            times.append(time.perf_counter() - t0)
+        tagg = float(np.median(times))
+        eff = t1 / tagg
+
+        # shard-assembly bit-parity vs the single-frame kernel
+        out = np.asarray(asw_disparity_batch(s1[0], s2[0], row_valid=rv,
+                                             context=True, **kw))
+        assembled = np.concatenate([out[i] for i in range(n)], axis=0)
+        single = np.asarray(asw_disparity(f1[0], t1d[0], **kw))
+        parity = bool((assembled == single).all())
+
+        report["points"].append({
+            "devices": n, "shard_rows": H // n + 2 * halo,
+            "one_dispatch_ms": round(tagg * 1e3, 2),
+            "aggregate_efficiency": round(eff, 3),
+            "bit_parity_vs_single": parity})
+        print(f"devices={n:2d}  N-shard single dispatch {tagg * 1e3:8.2f}"
+              f" ms  agg_eff={eff:.1%}  parity={parity}",
+              file=sys.stderr)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -135,6 +231,10 @@ def main(argv=None):
     p.add_argument("--tpu", action="store_true",
                    help="strong-scaling timing of shard shapes on the "
                         "real chip (default: parity on virtual CPU mesh)")
+    p.add_argument("--tpu-aggregate", action="store_true",
+                   help="time all N shards as ONE dispatch on the real "
+                        "chip (measured aggregate efficiency, no "
+                        "dispatch-correction estimate)")
     p.add_argument("--json", type=str, default=None)
     args = p.parse_args(argv)
 
@@ -156,7 +256,11 @@ def main(argv=None):
         },
     }
 
-    if args.tpu:
+    if args.tpu_aggregate:
+        report["method"] = ("all-N-shards-in-one-dispatch timing on the "
+                            "real chip (aggregate efficiency, measured)")
+        _tpu_aggregate(args, report)
+    elif args.tpu:
         _tpu_strong_scaling(args, report)
     else:
         # virtual mesh must be requested before jax initializes
