@@ -66,37 +66,49 @@ def decode_graycode(patterns, nx, ny, white_thr=5):
 def _gray_host(img, res):
     """Host load + grayscale + size check for one capture (cheap numpy;
     the undistortion happens batched on device — see
-    :func:`_undistort_stack`)."""
+    :func:`_undistort_stack`).
+
+    uint8 in, uint8 out (BGR inputs are grayscaled and rounded back to
+    uint8, cv2.cvtColor semantics — the reference's whole decode runs on
+    uint8 grayscale captures): the stack upload is the scan's largest
+    host->device transfer, and uint8 is 4x smaller than float."""
     if isinstance(img, (str, bytes)):
         from ..imgio import imread
         img = imread(img, grayscale=True)
     img = np.asarray(img)
     if img.ndim == 3:
-        img = (0.114 * img[..., 0] + 0.587 * img[..., 1]
-               + 0.299 * img[..., 2])
+        img = np.round(0.114 * img[..., 0] + 0.587 * img[..., 1]
+                       + 0.299 * img[..., 2])
     w, h = res
     if img.shape != (h, w):
         raise ValueError("Image size mismatch!")
-    return np.asarray(img, np.float32)
+    if img.dtype != np.uint8:
+        img = np.clip(np.round(np.asarray(img, np.float64)),
+                      0, 255).astype(np.uint8)
+    return img
 
 
 def _undistort_stack(imgs_np, K, dist, res):
-    """Undistort a whole (N, H, W) capture stack in ONE device resample.
+    """Undistort a whole (N, H, W) uint8 capture stack in ONE device
+    resample.
 
     The reference undistorts each pattern capture separately
     (active.py:1197-1205 via cv2.undistort per image — ~40 calls per
     scan); here the stack rides the channel axis of a single remap
     (identical per-plane math), turning N host-device round-trips into
-    one. Returns a device-resident (N, H, W) f32 stack. A rig with no
-    distortion skips the resample entirely."""
+    one, and the upload stays uint8 (the 38-pattern 640x480 stack is
+    11.7 MB vs 46.7 MB as f32 — the transfer dominated the scan).
+    Returns a device-resident (N, H, W) uint8 stack (remap rounds
+    integer inputs, cv2 semantics). A rig with no distortion skips the
+    resample entirely."""
     import jax.numpy as jnp  # local: keep module import light
 
     if dist is None or not np.any(np.asarray(dist)):
-        return jnp.asarray(imgs_np, jnp.float32)
+        return jnp.asarray(imgs_np)
     w, h = res
     mapx, mapy = warp.init_undistort_rectify_map(K, dist, None, K, (w, h))
-    und = warp.remap(jnp.transpose(jnp.asarray(imgs_np, jnp.float32),
-                                   (1, 2, 0)), mapx, mapy)
+    und = warp.remap(jnp.transpose(jnp.asarray(imgs_np), (1, 2, 0)),
+                     mapx, mapy)
     return jnp.transpose(und, (2, 0, 1))
 
 
@@ -165,8 +177,10 @@ class GrayCode:
         w2, h2 = self.rig.res2
         valid = valid & (px < w2) & (py < h2)
         if shadow:
-            # strict >, matching cv2 computeShadowMasks semantics
-            lit = np.asarray(und[-1] - und[-2]) > self.black_thr
+            # strict >, cv2 computeShadowMasks semantics (int16: a uint8
+            # difference would wrap where black > white)
+            lit = np.asarray(und[-1].astype(jnp.int16)
+                             - und[-2].astype(jnp.int16)) > self.black_thr
             valid = valid & lit
         return px, py, valid
 
@@ -252,8 +266,10 @@ class GrayCodeDouble:
         px, py, valid = map(np.asarray, (px, py, valid))
         valid = valid & (px < self.projRes[0]) & (py < self.projRes[1])
         if shadow:
-            # strict >, matching cv2 computeShadowMasks semantics
-            lit = np.asarray(und[-1] - und[-2]) > self.black_thr
+            # strict >, cv2 computeShadowMasks semantics (int16: a uint8
+            # difference would wrap where black > white)
+            lit = np.asarray(und[-1].astype(jnp.int16)
+                             - und[-2].astype(jnp.int16)) > self.black_thr
             valid = valid & lit
         return px, py, valid
 
