@@ -61,19 +61,62 @@ def main():
         bad_parts.append(f"{p['bad2_nonocc']*100:.1f} % (ASW)")
     if "sgm_bad2_nonocc" in p:
         bad_parts.append(f"{p['sgm_bad2_nonocc']*100:.1f} % (SGM)")
+    if "gsw_bad2_nonocc" in p:
+        bad_parts.append(f"{p['gsw_bad2_nonocc']*100:.1f} % (GSW)")
     if bad_parts:
         rows.append(("Tsukuba bad-2.0 (non-occluded)",
                      ", ".join(bad_parts),
                      "ASW golden output shipped in-repo"))
     if "sgm_mpixdisp_per_s" in p:
         s1 = p["sgm_mpixdisp_per_s"]
-        cell = f"**{s1:.0f} Mpix·disp/s** single-frame"
+        cell = (f"**{s1:.0f} Mpix·disp/s** single-frame (census cost, "
+                "tuned point)")
+        if "sgm_bt_mpixdisp_per_s" in p:
+            cell += (f", {p['sgm_bt_mpixdisp_per_s']:.0f} at the cheaper "
+                     "BT point")
         if "sgm_batch8_mpixdisp_per_s" in p:
             cell += (f", **{p['sgm_batch8_mpixdisp_per_s']:.0f}"
                      " Mpix·disp/s/frame** batched (dispatch-dominated "
                      "at this frame size; see `sgm_pallas.py`)")
         rows.append(("SGM dense disparity, Tsukuba, 16 candidates",
                      cell, "delegated to OpenCV (`cv2.StereoSGBM`)"))
+    if "gsw_mpixdisp_per_s" in p:
+        g1 = p["gsw_mpixdisp_per_s"]
+        cell = f"**{g1:.1f} Mpix·disp/s** single-frame (Pallas kernel)"
+        if "gsw_batch8_mpixdisp_per_s" in p:
+            cell += (f", **{p['gsw_batch8_mpixdisp_per_s']:.1f}"
+                     " Mpix·disp/s/frame** batched")
+        rows.append(("GSW (tuned: win 23, γ 12.5, fMax 20, 11 candidates, "
+                     "consistent), Tsukuba", cell,
+                     '"*Incomplete*… EXTREMELY SLOW. Do not use in '
+                     'production" (passive.py:104-121)'))
+    if "gsw_mi_mpixdisp_per_s" in p:
+        gm = p["gsw_mi_mpixdisp_per_s"]
+        cell = (f"**{gm:.1f} Mpix·disp/s** (3 MI iterations, consistent — "
+                "whole refinement one device program; one-hot matmul "
+                "histogram/cost maps)")
+        if "gsw_mi_bad2_nonocc" in p:
+            cell += f", bad-2.0 {p['gsw_mi_bad2_nonocc']*100:.1f} %"
+        rows.append(("GSW mutual-information cost, Tsukuba", cell,
+                     "unimplemented TODO (_passive.cpp:506-508)"))
+    if "ftp_cloud_640x480_ms" in p:
+        cell = (f"**{p['ftp_cloud_640x480_ms']:.0f} ms/frame** end-to-end "
+                f"incl. link ({p.get('ftp_cloud_mpix_per_s', 0):.2f} "
+                "Mpix/s; device+host compute ~63 ms — link-bound, see "
+                "SCALING.md stage table)")
+        rows.append(("StereoFTP scan → cloud, 640×480 synthetic plane",
+                     cell, "host numpy/OpenCV per-stage round-trips"))
+    if "graycode_decode_mpix_per_s" in p:
+        cell = (f"**{p['graycode_decode_mpix_per_s']:.0f} Mpix/s** decode "
+                "(one jitted bit-pack over the whole stack)")
+        if "graycode_cloud_640x480_ms" in p:
+            cell += (f"; full scan → cloud "
+                     f"{p['graycode_cloud_640x480_ms']:.0f} ms (38-pattern "
+                     "batch undistorted in one resample + host "
+                     "triangulation)")
+        rows.append(("Gray-code scan, 640×480", cell,
+                     "per-pixel Python loop over `getProjPixel` "
+                     "(active.py:1221-1226)"))
 
     block = "\n".join(f"| {a} | {b} | {c} |" for a, b, c in rows)
     readme = open("README.md").read()
