@@ -112,6 +112,67 @@ def _undistort_stack(imgs_np, K, dist, res):
     return jnp.transpose(und, (2, 0, 1))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "ny", "white_thr", "res2", "black_thr",
+                     "shadow", "roi", "out_dtype"))
+def _graycode_cloud_device(und, K2, dist2, Rect1, Rect2, R_inv3, baseline,
+                           *, nx, ny, white_thr, res2, black_thr, shadow,
+                           roi, out_dtype=None):
+    """Decode + validity + dense epipolar triangulation as ONE device
+    program: returns ((H, W, 3) f32 cloud, (H, W) bool valid). Mirrors
+    the host path of the reference (active.py:1227-1260) and the FTP
+    dense tail (:func:`simplestereo_tpu.active.ftp._dense_cloud_rows` —
+    projector re-distortion via iterative ``undistort_points``,
+    rectification of both grids, disparity → depth). ``shadow``: the
+    last two planes of ``und`` are the black/white captures."""
+    from ..geometry import projection as gproj
+    from ..geometry import distortion as gdist
+
+    n_pat = 2 * (nx + ny)
+    px, py, valid = decode_graycode(und[:n_pat], nx=nx, ny=ny,
+                                    white_thr=white_thr)
+    w2, h2 = res2
+    valid = valid & (px < w2) & (py < h2)
+    if shadow:
+        # strict >, cv2 computeShadowMasks semantics (int16: a uint8
+        # difference would wrap where black > white)
+        valid = valid & ((und[-1].astype(jnp.int16)
+                          - und[-2].astype(jnp.int16)) > black_thr)
+    H, W = px.shape
+    if roi is not None:
+        rx, ry, rw, rh = roi
+        gxi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        gyi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        valid = valid & (gxi >= rx) & (gxi < rx + rw) \
+            & (gyi >= ry) & (gyi < ry + rh)
+
+    # full-f32 matmuls: TPU reduced precision costs whole pixels here
+    with jax.default_matmul_precision("highest"):
+        gx, gy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                              jnp.arange(H, dtype=jnp.float32))
+        pc = jnp.stack([gx + 0.5, gy + 0.5], -1).reshape(-1, 2)
+        pp = jnp.stack([px.astype(jnp.float32) + 0.5,
+                        py.astype(jnp.float32) + 0.5], -1).reshape(-1, 2)
+        # Projector re-distortion trick (inverse pinhole camera):
+        # active.py:1239-1246.
+        pp = gdist.undistort_points(pp, K2, dist2, P=K2)
+        pc = gproj.perspective_transform(pc, Rect1)
+        pp = gproj.perspective_transform(pp, Rect2)
+        disparity = jnp.abs(pp[:, :1] - pc[:, :1])
+        pch = jnp.concatenate([pc, jnp.ones((pc.shape[0], 1), pc.dtype)],
+                              1)
+        pw = baseline * pch / jnp.where(disparity > 1e-12, disparity,
+                                        jnp.nan)
+        out = pw @ R_inv3.T
+    out = out.reshape(H, W, 3)
+    if out_dtype is not None:
+        # cast ON DEVICE: the dense-cloud readback dominates on a slow
+        # host link (same lever as StereoFTP.getCloud's out_dtype)
+        out = out.astype(out_dtype)
+    return out, valid
+
+
 class GrayCode:
     """Camera-projector Gray-code scanner (parity: active.py:1130-1263).
 
@@ -184,39 +245,53 @@ class GrayCode:
             valid = valid & lit
         return px, py, valid
 
-    def getCloud(self, images, roi=None, black=None, white=None):
+    def getCloud(self, images, roi=None, black=None, white=None,
+                 out_dtype=None):
         """Triangulate a scan to 3D points, (n, 1, 3) in camera frame.
 
         ``images``: list of camera captures (paths or arrays) ordered like
         the generated patterns; extra trailing images are ignored.
         ``black``/``white``: optional shadow-mask captures (see
         :meth:`decode`).
-        """
-        widthC, heightC = self.rig.res1
-        px, py, valid = self.decode(images, black=black, white=white)
-        if roi is not None:
-            roi_x, roi_y, roi_w, roi_h = roi
-            m = np.zeros_like(valid)
-            m[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w] = True
-            valid = valid & m
-        ys, xs = np.nonzero(valid)
-        pc = np.stack([xs, ys], 1).astype(np.float64) + 0.5
-        pp = np.stack([px[ys, xs], py[ys, xs]], 1).astype(np.float64) + 0.5
 
-        # Projector re-distortion trick (inverse pinhole camera):
-        # active.py:1239-1246.
-        pp = npgeom.undistort_points(
-            pp, self.rig.intrinsic2, self.rig.distCoeffs2,
-            P=self.rig.intrinsic2)
-        pc = npgeom.perspective_transform(pc, self.Rectify1)
-        pp = npgeom.perspective_transform(pp, self.Rectify2)
-        pc = np.hstack([pc, np.ones((len(pc), 1))])
-        disparity = np.abs(pp[:, [0]] - pc[:, [0]])
-        disparity[disparity < 1e-12] = np.nan  # guard div-by-zero
-        pw = self.rig.getBaseline() * (pc / disparity)
-        out = npgeom.perspective_transform(
-            pw.reshape(-1, 1, 3), self.R_inv)
-        return out.reshape(-1, 1, 3)
+        The whole decode → validity → dense epipolar triangulation runs
+        as ONE device program (the reference triangulates per valid
+        pixel on the host, active.py:1227-1260; the host here only
+        gathers the valid points from the dense (H, W, 3) cloud).
+
+        out_dtype : optional numpy dtype for the returned points (same
+            lever as :meth:`StereoFTP.getCloud`): ``np.float16`` halves
+            the dense-cloud device→host transfer by casting on device —
+            worthwhile on slow links; z quantizes to 1-2 mm at 2-4 m.
+            Default keeps float64 output.
+        """
+        from ..geometry.distortion import pad_dist_coeffs
+
+        rig = self.rig
+        res1 = rig.res1
+        imgs = [_gray_host(i, res1) for i in images[: self.num_patterns]]
+        shadow = black is not None and white is not None
+        if shadow:
+            imgs += [_gray_host(black, res1), _gray_host(white, res1)]
+        und = _undistort_stack(np.stack(imgs), rig.intrinsic1,
+                               rig.distCoeffs1, res1)
+        cloud, valid = _graycode_cloud_device(
+            und, jnp.asarray(rig.intrinsic2, jnp.float32),
+            jnp.asarray(pad_dist_coeffs(rig.distCoeffs2)),
+            jnp.asarray(self.Rectify1, jnp.float32),
+            jnp.asarray(self.Rectify2, jnp.float32),
+            jnp.asarray(self.R_inv[:3, :3], jnp.float32),
+            jnp.float32(rig.getBaseline()),
+            nx=self.nx, ny=self.ny, white_thr=self.white_thr,
+            res2=tuple(rig.res2), black_thr=int(self.black_thr),
+            shadow=shadow,
+            roi=None if roi is None else tuple(int(v) for v in roi),
+            out_dtype=(None if out_dtype is None
+                       else np.dtype(out_dtype).name))
+        valid = np.asarray(valid)
+        cloud = np.asarray(cloud, np.float64 if out_dtype is None else None)
+        ys, xs = np.nonzero(valid)
+        return cloud[ys, xs].reshape(-1, 1, 3)
 
 
 # Alias, parity: active.py:1461.
