@@ -101,6 +101,22 @@ def _unwrap2d(phase):
     return unwrapping.unwrap(p, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("roi", "channel"))
+def _prep_undistort_centroids(img, K1, dist1, thr, *, roi, channel):
+    """Fused getCloud preamble: camera undistortion, static ROI crop and
+    the per-row stripe-centroid reduction in ONE dispatch (they were two
+    device round-trips; each costs ~25 ms on a remote link). Returns the
+    device-resident cropped frame and the (roi_h,) centroid vector — only
+    the latter crosses to the host (NaN fill + stripe triangulation)."""
+    from .stripe import _stripe_centroids_jit
+
+    und = warp.undistort_image(img, K1, dist1)
+    rx, ry, rw, rh = roi
+    und = und[ry:ry + rh, rx:rx + rw]
+    cents = _stripe_centroids_jit()(und, thr, channel)
+    return und, cents
+
+
 def _dense_cloud_rows(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
                       Rect1, Rect2, R_inv3, baseline, roi_x, row0):
     """Dense epipolar triangulation over a row band (active.py:793-838).
@@ -432,27 +448,36 @@ class StereoFTP:
         :func:`simplestereo_tpu.parallel.sharded_ftp_cloud`: undistort,
         ROI crop, central-stripe carrier estimation, grayscale plan.
         Returns a dict of everything the fused device pipeline needs."""
+        from .stripe import _CHANNEL, _centroids_to_stripe
+
         imgObj = np.asarray(imgObj)
         if imgObj.ndim != 3:
             raise ValueError("image must be a BGR color image!")
+        if not 0 <= self.stripeSensitivity <= 1:
+            raise ValueError("Threshold must be in the interval [0,1]!")
+        if self.stripeColor not in _CHANNEL:
+            raise ValueError("Color value not permitted!")
         rig = self.stereoRig
         widthC, heightC = rig.res1
+        if roi is None:
+            roi = (0, 0, widthC, heightC)
+        roi_x, roi_y, roi_w, roi_h = roi
 
         # Device-resident from here: the undistorted frame never crosses
         # back to the host (the reference round-trips every dense stage).
-        imgObj = warp.undistort_image(imgObj, rig.intrinsic1,
-                                      rig.distCoeffs1)
-        if roi is not None:
-            roi_x, roi_y, roi_w, roi_h = roi
-            imgObj = imgObj[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
-        else:
-            roi = (0, 0, widthC, heightC)
-            roi_x, roi_y, roi_w, roi_h = roi
-
-        # carrier frequency from the central stripe (device centroids,
-        # (H,)-sized host fill)
-        stripe_cam = findCentralStripe(imgObj, self.stripeColor,
-                                       self.stripeSensitivity)
+        # Undistort + ROI crop + stripe centroids are ONE dispatch; only
+        # the (roi_h,) centroid vector crosses for the host fill.
+        dt = np.dtype(imgObj.dtype)
+        max_value = np.iinfo(dt).max if dt.kind in "iu" else 1.0
+        imgObj, cents = _prep_undistort_centroids(
+            jnp.asarray(imgObj), jnp.asarray(rig.intrinsic1, jnp.float32),
+            None if rig.distCoeffs1 is None
+            else jnp.asarray(np.asarray(rig.distCoeffs1, np.float64).ravel()),
+            jnp.float32(max_value * self.stripeSensitivity),
+            roi=tuple(int(v) for v in roi),
+            channel=_CHANNEL[self.stripeColor])
+        stripe_cam = _centroids_to_stripe(np.asarray(cents, np.float64),
+                                          roi_h)
         if stripe_cam is None:
             raise ValueError("Central stripe not found in image!")
         stripe_cam = stripe_cam.reshape(-1, 2)

@@ -99,6 +99,13 @@ def findCentralStripe(image, color="r", sensitivity=0.5,
         with np.errstate(divide="ignore", invalid="ignore"):
             x = (fringe * i).sum(axis=1) / den
 
+    return _centroids_to_stripe(x, h, interpolation)
+
+
+def _centroids_to_stripe(x, h, interpolation="linear"):
+    """Host tail of :func:`findCentralStripe`: fill NaN rows of the
+    per-row centroid vector ``x`` by interpolation/extrapolation and
+    attach pixel-center y coordinates. None when no row has a stripe."""
     if np.isnan(x).all():
         return None
 
