@@ -266,6 +266,38 @@ def _ftp_cloud_fused(img_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
     return cloud, dbg
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("res", "roi", "gray_mode", "out_dtype"))
+def _ftp_cloud_fused_batch(imgs, zs, M, T, K2, dist2, fringe_gray, fmins,
+                           fmaxs, stripe_idxs, peak, fp, ep, Rect1, Rect2,
+                           R_inv3, baseline, *, res, roi, gray_mode,
+                           out_dtype=None):
+    """Frame-batched :func:`_ftp_cloud_fused`: the dense work of the
+    whole (B, ...) stack is ONE device program. The FTP pipeline is pure
+    XLA (FFTs, gathers, scans — no Pallas), so ``vmap`` is the correct
+    batching transform here, unlike the matcher kernels where the frame
+    axis must ride the Pallas grid. Per-frame inputs: the captures, the
+    reference-plane depth, the band edges and the stripe indices; the
+    rig geometry is shared."""
+    def one(im, z, fmn, fmx, sidx):
+        return _ftp_cloud_fused(
+            im, z, M, T, K2, dist2, fringe_gray, fmn, fmx, sidx, peak,
+            fp, ep, Rect1, Rect2, R_inv3, baseline, res=res, roi=roi,
+            gray_mode=gray_mode, debug=False, out_dtype=out_dtype)
+
+    return jax.vmap(one)(imgs, zs, fmins, fmaxs, stripe_idxs)
+
+
+@functools.partial(jax.jit, static_argnames=("roi", "channel"))
+def _prep_undistort_centroids_batch(imgs, K1, dist1, thr, *, roi,
+                                    channel):
+    """Batched :func:`_prep_undistort_centroids` (one dispatch for the
+    whole frame stack)."""
+    return jax.vmap(
+        lambda im: _prep_undistort_centroids(im, K1, dist1, thr, roi=roi,
+                                             channel=channel))(imgs)
+
+
 class StereoFTP:
     """Stereo Fourier Transform Profilometry manager.
 
@@ -631,6 +663,91 @@ class StereoFTP:
             return np.asarray(jax.device_get(
                 finalPoints.astype(np.dtype(out_dtype).name)))
         return np.asarray(finalPoints, np.float64)
+
+    def getCloudBatch(self, imgs, radius_factor=0.5, roi=None,
+                      out_dtype=None):
+        """Throughput form of :meth:`getCloud`: a (B, H, W, 3) capture
+        stack → (B, roi_h, roi_w, 3) clouds.
+
+        The dense work of the whole stack runs as TWO device programs
+        regardless of B (batched undistort+stripe-centroids, then the
+        batched fused pipeline — the FTP stages are pure XLA, so the
+        frame axis is a plain ``vmap``); per-frame dispatch latency,
+        the dominant cost of small frames on a remote link, is paid
+        once per batch. The per-frame host control plane (stripe fill,
+        triangulation, carrier frequency — ~2 ms each) runs between
+        them. No reference analog (active.py's pipeline is strictly
+        one frame per call)."""
+        from .stripe import _CHANNEL, _centroids_to_stripe
+
+        imgs = np.asarray(imgs)
+        if imgs.ndim != 4 or imgs.shape[-1] != 3:
+            raise ValueError("imgs must be a (B, H, W, 3) BGR stack!")
+        if self._customGrayscale():
+            # custom-grayscale subclasses take the per-frame path (their
+            # hooks are host/device functions of a single frame)
+            return np.stack([
+                self.getCloud(im, radius_factor=radius_factor, roi=roi,
+                              out_dtype=out_dtype) for im in imgs])
+        rig = self.stereoRig
+        widthC, heightC = rig.res1
+        if roi is None:
+            roi = (0, 0, widthC, heightC)
+        roi_h = int(roi[3])
+
+        dt = np.dtype(imgs.dtype)
+        max_value = np.iinfo(dt).max if dt.kind in "iu" else 1.0
+        und, cents = _prep_undistort_centroids_batch(
+            jnp.asarray(imgs), jnp.asarray(rig.intrinsic1, jnp.float32),
+            None if rig.distCoeffs1 is None
+            else jnp.asarray(np.asarray(rig.distCoeffs1,
+                                        np.float64).ravel()),
+            jnp.float32(max_value * self.stripeSensitivity),
+            roi=tuple(int(v) for v in roi),
+            channel=_CHANNEL[self.stripeColor])
+        cents = np.asarray(cents, np.float64)
+
+        zs, fmins, fmaxs, sidxs = [], [], [], []
+        for b in range(imgs.shape[0]):
+            stripe_cam = _centroids_to_stripe(cents[b], roi_h)
+            if stripe_cam is None:
+                raise ValueError(
+                    f"Central stripe not found in image {b}!")
+            stripe_cam = stripe_cam.reshape(-1, 2)
+            sidxs.append(np.ceil(stripe_cam - 0.5).astype(np.int64))
+            stripe_world = self._triangulate(
+                stripe_cam.copy(), self.stripeCentralPeak, roi)
+            zs.append(float(np.nanmean(stripe_world[:, 2])))
+            fc = self._calculateCameraFrequency(stripe_world)
+            radius = radius_factor * fc
+            fmins.append(fc - radius)
+            fmaxs.append(fc + radius)
+
+        rigM = (np.asarray(rig.R, np.float64)
+                @ np.linalg.inv(np.asarray(rig.intrinsic1, np.float64)))
+        clouds = _ftp_cloud_fused_batch(
+            und, jnp.asarray(np.asarray(zs), jnp.float32),
+            jnp.asarray(rigM, jnp.float32),
+            jnp.asarray(np.asarray(rig.T, np.float64).ravel(),
+                        jnp.float32),
+            jnp.asarray(rig.intrinsic2, jnp.float32),
+            jnp.asarray(pad_dist_coeffs(rig.distCoeffs2)),
+            jnp.asarray(self.fringe, jnp.float32),
+            jnp.asarray(np.stack(fmins), jnp.float32),
+            jnp.asarray(np.stack(fmaxs), jnp.float32),
+            jnp.asarray(np.stack(sidxs), jnp.int32),
+            jnp.float32(self.stripeCentralPeak), jnp.float32(self.fp),
+            jnp.asarray(self.ep, jnp.float32),
+            jnp.asarray(self.Rectify1, jnp.float32),
+            jnp.asarray(self.Rectify2, jnp.float32),
+            jnp.asarray(self.R_inv[:3, :3], jnp.float32),
+            jnp.float32(rig.getBaseline()),
+            res=tuple(rig.res1), roi=tuple(int(v) for v in roi),
+            gray_mode=self._GRAY_MODE,
+            out_dtype=(None if out_dtype is None
+                       else np.dtype(out_dtype).name))
+        return np.asarray(clouds,
+                          np.float64 if out_dtype is None else None)
 
 
 class StereoFTPAnaglyph(StereoFTP):

@@ -260,6 +260,32 @@ def test_ftp_out_dtype_f16(ftp_scene):
     assert dz.max() <= 1.0, dz.max()
 
 
+def test_ftp_cloud_batch_matches_single(ftp_scene):
+    """getCloudBatch (dense work of the whole stack in one device
+    program) must match per-frame getCloud. vmap can change FFT batching
+    and reduction order, so allow float-associativity slack."""
+    ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],
+                    ftp_scene["period"])
+    rng = np.random.default_rng(3)
+    cam = ftp_scene["cam_img"]
+    imgs = np.stack([
+        cam,
+        np.clip(cam.astype(np.int16)
+                + rng.integers(-2, 3, cam.shape), 0, 255).astype(cam.dtype),
+    ])
+    batch = ftp.getCloudBatch(imgs)
+    assert batch.shape == (2, CAM_RES[1], CAM_RES[0], 3)
+    for b in range(2):
+        single = ftp.getCloud(imgs[b])
+        both = np.isfinite(single[..., 2]) & np.isfinite(batch[b, ..., 2])
+        assert both.mean() > 0.95
+        dz = np.abs(single[..., 2] - batch[b, ..., 2])[both]
+        assert dz.max() < 1e-2, dz.max()
+
+    with pytest.raises(ValueError):
+        ftp.getCloudBatch(cam)  # not a stack
+
+
 def test_ftp_rejects_gray_image(ftp_scene):
     ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],
                     ftp_scene["period"])
