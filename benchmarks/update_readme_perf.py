@@ -104,6 +104,10 @@ def main():
                 f"incl. link ({p.get('ftp_cloud_mpix_per_s', 0):.2f} "
                 "Mpix/s; device+host compute ~63 ms — link-bound, see "
                 "SCALING.md stage table)")
+        if "ftp_cloud_batch8_ms_per_frame" in p:
+            cell += (f"; **{p['ftp_cloud_batch8_ms_per_frame']:.0f} "
+                     "ms/frame** batched (`getCloudBatch`, dispatch paid "
+                     "once per 8-frame stack)")
         rows.append(("StereoFTP scan → cloud, 640×480 synthetic plane",
                      cell, "host numpy/OpenCV per-stage round-trips"))
     if "graycode_decode_mpix_per_s" in p:

@@ -677,12 +677,26 @@ class StereoFTP:
         once per batch. The per-frame host control plane (stripe fill,
         triangulation, carrier frequency — ~2 ms each) runs between
         them. No reference analog (active.py's pipeline is strictly
-        one frame per call)."""
+        one frame per call).
+
+        The win is at dispatch-dominated frame sizes (~2x at 640x480
+        over the bench tunnel); at 1080p the ~25 MB/frame cloud
+        readback dominates either path and batching holds no advantage
+        on a slow link (measured 1.9 vs 1.5 s/frame at B=2 —
+        benchmarks/verify_r4b.py)."""
         from .stripe import _CHANNEL, _centroids_to_stripe
 
         imgs = np.asarray(imgs)
         if imgs.ndim != 4 or imgs.shape[-1] != 3:
             raise ValueError("imgs must be a (B, H, W, 3) BGR stack!")
+        if isinstance(self, StereoFTP_Mapping):
+            # the classic no-virtual-reference pipeline (its getCloud
+            # maps phase straight to projector x) — silently running the
+            # base fused pipeline here would triangulate wrong geometry
+            raise TypeError(
+                "StereoFTP_Mapping uses the classic no-virtual-reference "
+                "pipeline; getCloudBatch covers StereoFTP/"
+                "StereoFTPAnaglyph — loop getCloud per frame instead")
         if self._customGrayscale():
             # custom-grayscale subclasses take the per-frame path (their
             # hooks are host/device functions of a single frame)

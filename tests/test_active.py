@@ -285,6 +285,14 @@ def test_ftp_cloud_batch_matches_single(ftp_scene):
     with pytest.raises(ValueError):
         ftp.getCloudBatch(cam)  # not a stack
 
+    from simplestereo_tpu.active import StereoFTP_Mapping
+    mapping = StereoFTP_Mapping(ftp_scene["rig"], ftp_scene["fringe"],
+                                ftp_scene["period"])
+    with pytest.raises(TypeError):
+        # the classic no-virtual-reference pipeline must not silently
+        # run the base fused pipeline (wrong geometry)
+        mapping.getCloudBatch(imgs)
+
 
 def test_ftp_rejects_gray_image(ftp_scene):
     ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],

@@ -26,6 +26,7 @@ CHEAP = [
     "005_rectify_rig.py",
     "007_use_raw_camera_data.py",
     "102_cam_proj_capture.py",
+    "203_batch_scanning.py",
 ]
 SLOW = [
     "202_streaming_pipeline.py",

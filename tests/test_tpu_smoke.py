@@ -289,3 +289,86 @@ def test_gsw_pallas_batch_on_hardware(tpu_ok, rng):
     db = m.computeBatch(imgs1, imgs2)
     for i in range(2):
         np.testing.assert_array_equal(db[i], m.compute(imgs1[i], imgs2[i]))
+
+
+def _tiny_ftp_scene():
+    import jax.numpy as jnp
+    import simplestereo_tpu as ss
+    from simplestereo_tpu.active import StereoFTP, buildFringe
+    from simplestereo_tpu import warp
+    from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+
+    CAM = PROJ = (128, 96)
+    K = np.array([[140., 0, 63.5], [0, 140., 47.5], [0, 0, 1]])
+    R = rodrigues_to_matrix(np.array([0.0, -0.05, 0.0]))
+    T = np.array([[-40.], [1.0], [6.0]])
+    rig = ss.StereoRig(CAM, PROJ, K, K, None, None, R, T)
+    period = 16.0
+    fringe = buildFringe(period, dims=PROJ, stripeColor="green")
+    z0 = 520.0
+    w, h = CAM
+    xs, ys = np.meshgrid(np.arange(w) + 0.0, np.arange(h) + 0.0)
+    rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ np.linalg.inv(K).T
+    q = (z0 * rays @ R.T + T.ravel()) @ K.T
+    cam = np.asarray(warp.remap(
+        jnp.asarray(fringe), jnp.asarray(q[..., 0] / q[..., 2], np.float32),
+        jnp.asarray(q[..., 1] / q[..., 2], np.float32),
+        interpolation="linear"))
+    ftp = StereoFTP(rig, fringe, period, stripeColor="green")
+    return rig, ftp, cam, z0
+
+
+def test_ftp_cloud_batch_on_hardware(tpu_ok):
+    """Round 4: getCloudBatch (vmapped fused pipeline, 2 device programs
+    per stack) and the out_dtype=f16 on-device cast must lower and match
+    the per-frame path on the real chip."""
+    _, ftp, cam, z0 = _tiny_ftp_scene()
+    imgs = np.stack([cam, np.roll(cam, 1, axis=0)])
+    batch = ftp.getCloudBatch(imgs)
+    single = ftp.getCloud(cam)
+    both = np.isfinite(single[..., 2]) & np.isfinite(batch[0, ..., 2])
+    assert both.mean() > 0.9
+    assert np.abs(single[..., 2] - batch[0, ..., 2])[both].max() < 1e-2
+
+    b16 = ftp.getCloudBatch(imgs, out_dtype=np.float16)
+    assert b16.dtype == np.float16
+    both = np.isfinite(batch[..., 2]) & np.isfinite(
+        b16[..., 2].astype(np.float64))
+    d16 = np.abs(batch[..., 2] - b16[..., 2].astype(np.float64))[both]
+    assert d16.max() <= 1.0, d16.max()  # 2 f16 ulps at z ~ 520
+
+
+def test_graycode_cloud_fused_on_hardware(tpu_ok):
+    """Round 4: the fused Gray-code decode + dense epipolar triangulation
+    device program (graycode._graycode_cloud_device) recovers a known
+    plane on the real chip — catches bf16-pass matmul precision loss in
+    the new device triangulation (it must pin HIGHEST)."""
+    import jax.numpy as jnp
+    import simplestereo_tpu as ss
+    from simplestereo_tpu.active import GrayCode
+    from simplestereo_tpu.active.patterns import graycode_patterns
+    from simplestereo_tpu import warp
+    from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+
+    CAM = PROJ = (128, 96)
+    K = np.array([[140., 0, 63.5], [0, 140., 47.5], [0, 0, 1]])
+    R = rodrigues_to_matrix(np.array([0.0, -0.05, 0.0]))
+    T = np.array([[-40.], [1.0], [6.0]])
+    rig = ss.StereoRig(CAM, PROJ, K, K, None, None, R, T)
+    gc = GrayCode(rig)
+    pats, _, _ = graycode_patterns(PROJ)
+
+    z0 = 520.0
+    w, h = CAM
+    xs, ys = np.meshgrid(np.arange(w) + 0.0, np.arange(h) + 0.0)
+    rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ np.linalg.inv(K).T
+    q = (z0 * rays @ R.T + T.ravel()) @ K.T
+    mapu = jnp.asarray(q[..., 0] / q[..., 2], np.float32)
+    mapv = jnp.asarray(q[..., 1] / q[..., 2], np.float32)
+    caps = [np.asarray(warp.remap(jnp.asarray(p), mapu, mapv,
+                                  interpolation="linear"))
+            for p in pats]
+    cloud = gc.getCloud(caps).reshape(-1, 3)
+    z = cloud[np.isfinite(cloud[:, 2]), 2]
+    assert len(z) > 0.5 * w * h
+    assert abs(np.median(z) - z0) < 0.03 * z0
