@@ -301,12 +301,15 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
     reference's raw weighted sum.
 
     engine: "auto" — the Pallas kernel (:mod:`.gsw_pallas`, ~O(win^2)
-    less HBM traffic) on TPU for the "sd" cost and (round 4) for the
-    "mi" cost (the per-pixel MI table build stays XLA; the window
-    aggregation and every MI iteration of both matching directions fuse
-    into one kernel program), the fused-XLA form otherwise; "pallas" /
-    "xla" force a path ("pallas" runs in interpreter mode off-TPU unless
-    ``interpret`` is set). ``normalize`` stays on the XLA path.
+    less HBM traffic) on TPU for the "sd" cost (with or without
+    ``normalize`` — round 4 added an in-kernel denominator accumulator)
+    and for the "mi" cost (the per-pixel MI table build stays XLA; the
+    window aggregation and every MI iteration of both matching
+    directions fuse into one kernel program), the fused-XLA form
+    otherwise; "pallas" / "xla" force a path ("pallas" runs in
+    interpreter mode off-TPU unless ``interpret`` is set). ``normalize``
+    is inert for "mi" on both engines (the MI cost is a table statistic,
+    not a color distance).
     """
     if engine not in ("auto", "pallas", "xla"):
         raise ValueError("engine must be 'auto', 'pallas' or 'xla'!")
@@ -314,12 +317,12 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
         raise ValueError("step must be >= 1!")
     if step > 1 and cost_method == "mi":
         raise ValueError("step > 1 requires cost_method='sd'!")
-    pallas_able = not normalize
-    if engine == "pallas" and not pallas_able:
-        raise ValueError("engine='pallas' does not support normalize!")
-    if pallas_able and (engine == "pallas" or (
-            engine == "auto" and jax.default_backend() == "tpu")):
+    if engine == "pallas" or (
+            engine == "auto" and jax.default_backend() == "tpu"):
         if cost_method == "mi":
+            # normalize is inert for MI on BOTH engines: the MI cost is a
+            # table statistic, not a color distance, and the XLA form
+            # (_gsw_mi_step) never normalized it either.
             from .gsw_pallas import gsw_mi_disparity_pallas
             return gsw_mi_disparity_pallas(
                 img1, img2, win_size=win_size, max_disp=max_disp,
@@ -330,7 +333,8 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
         return gsw_disparity_pallas(
             img1, img2, win_size=win_size, max_disp=max_disp,
             min_disp=min_disp, gamma=gamma, f_max=f_max,
-            consistent=consistent, interpret=interpret, step=step)
+            consistent=consistent, interpret=interpret, step=step,
+            normalize=normalize)
 
     img1 = jnp.asarray(img1)
     img2 = jnp.asarray(img2)
@@ -443,8 +447,7 @@ class StereoGSW:
                 or imgs1.shape != imgs2.shape:
             raise ValueError(
                 "Batches must be (B, H, W, 3) BGR with identical shapes!")
-        pallas_able = not self.normalize and (
-            self.costMethod == "sd" or self.step == 1)
+        pallas_able = self.costMethod == "sd" or self.step == 1
         if pallas_able and (self.engine == "pallas" or (
                 self.engine == "auto" and jax.default_backend() == "tpu")):
             # A vmapped pallas_call cannot lower on real TPU: the batch
@@ -462,7 +465,8 @@ class StereoGSW:
                 imgs1, imgs2, win_size=self.winSize,
                 max_disp=self.maxDisparity, min_disp=self.minDisparity,
                 gamma=float(self.gamma), f_max=float(self.fMax),
-                consistent=self.consistent, step=self.step))
+                consistent=self.consistent, step=self.step,
+                normalize=self.normalize))
         fn = functools.partial(
             gsw_disparity, engine="xla", win_size=self.winSize,
             max_disp=self.maxDisparity, min_disp=self.minDisparity,

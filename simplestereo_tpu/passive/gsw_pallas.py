@@ -42,8 +42,12 @@ exactly like the ASW kernel whose machinery it reuses
 Cost semantics match ``gsw._gsw_pass`` (the oracle the unit tests
 compare against bit-for-bit in interpreter mode): unnormalized weighted
 sum, first-minimum (smallest-d) tie-break, empty candidate ranges return
-the pixel's own column. The ``normalize`` and ``cost_method="mi"``
-extensions stay on the XLA path (:func:`gsw.gsw_disparity` dispatches).
+the pixel's own column. Round 4 moved the remaining extensions onto the
+kernel too: ``cost_method="mi"`` rides the ``ext_vol`` path (pre-built
+table-lookup volume, window walk unchanged) and ``normalize`` adds an
+in-kernel denominator accumulator (one wsum per column offset + a
+per-(offset, d) lane-validity MAC; normalized costs are float ratios,
+so expect rare near-tie argmin flips vs XLA, not bit-parity).
 """
 
 import functools
@@ -60,7 +64,7 @@ from .asw_ref import occlusion_fill
 BGR_SENTINEL = 1.0e6  # exp(-sentinel/gamma) underflows to exactly 0.0
 
 
-def _pick_tile_h(H, W, win_size, D, ext_vol=False):
+def _pick_tile_h(H, W, win_size, D, ext_vol=False, normalize=False):
     """Band height under the VMEM scratch budget (GSW's model: input
     planes + the capped-cost volume (doubled on the large-D fori path,
     which keeps a rolled copy) + the D accumulator blocks). ``ext_vol``:
@@ -79,7 +83,8 @@ def _pick_tile_h(H, W, win_size, D, ext_vol=False):
             n_planes = (3 + D) + (D if D > _D_UNROLL else 0)
         else:
             n_planes = 6 + (D if D <= _D_UNROLL else 2 * D)
-        vmem = (n_planes * slab * w_slab + D * t * w_acc) * 4
+        n_acc = 2 * D if normalize else D  # num (+ den)
+        vmem = (n_planes * slab * w_slab + n_acc * t * w_acc) * 4
         if vmem > _VMEM_BUDGET:
             break
         n = -(-H // t)
@@ -93,7 +98,7 @@ def _pick_tile_h(H, W, win_size, D, ext_vol=False):
 
 def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
                 gamma, f_max, win_size, tile_h, width, batched, step,
-                ext_vol=False):
+                ext_vol=False, normalize=False):
     """One program = one band of ``tile_h`` output rows.
 
     planes_hbm : (6, Hp, w_slab) f32 in HBM/ANY — [0:3] BGR(ref) with the
@@ -110,7 +115,7 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
     """
     refs = list(refs)
     disp_ref = refs.pop(0)
-    slab, vol, volr, num, sem = refs
+    slab, vol, volr, num, den, sem = refs
     D = max_disp - min_disp + 1
     th = tile_h
     b = pl.program_id(1) if batched else pl.program_id(0)
@@ -161,6 +166,12 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
             jax.lax.fori_loop(0, D, vol_body, init)
 
     num[...] = jnp.zeros((D, th, w_acc), jnp.float32)
+    if normalize:
+        den[...] = jnp.zeros((D, th, w_acc), jnp.float32)
+        # lane c holds image column c (the accumulator block starts at
+        # the image's left edge); candidate validity of a window pixel
+        # at column offset dj for disparity d is 0 <= c + dj - d <= W-1
+        lane_acc = jax.lax.broadcasted_iota(jnp.int32, (th, w_acc), 1)
     inv_g = 1.0 / gamma
     ctr = [slab[c, pad:pad + th, pad:pad + w_acc] for c in range(3)]
 
@@ -183,12 +194,15 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
                 return 0
             jax.lax.fori_loop(0, D, roll_vol, 0)
 
+        wsum = jnp.zeros((th, w_acc), jnp.float32)
         for i in i_offsets:  # static: sublane slices must be static
             dsq = jnp.zeros((th, w_acc), jnp.float32)
             for c in range(3):
                 dlt = rolled[c][i:i + th, pad:pad + w_acc] - ctr[c]
                 dsq = dsq + dlt * dlt
             w = jnp.exp(-jnp.sqrt(dsq) * inv_g)
+            if normalize:
+                wsum = wsum + w
 
             if D <= _D_UNROLL:
                 for dd in range(D):
@@ -200,11 +214,36 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
                                                      pad:pad + w_acc]
                     return 0
                 jax.lax.fori_loop(0, D, dd_body, 0)
+
+        if normalize:
+            # Denominator: summed weight of the VALID window pixels
+            # (gsw._gsw_pass's w*Vs term). Row validity is already in w
+            # (out-of-image rows/cols hit the BGR sentinel -> w == 0
+            # exactly), so only the d-dependent column validity of this
+            # column offset dj = j - pad remains — a per-lane compare,
+            # shared by all row offsets (wsum amortizes the i loop).
+            dj = j - pad
+            if D <= _D_UNROLL:
+                for dd in range(D):
+                    d = min_disp + dd
+                    mask = ((lane_acc + dj >= d)
+                            & (lane_acc + dj <= width - 1 + d))
+                    den[dd] = den[dd] + wsum * mask.astype(jnp.float32)
+            else:
+                def den_body(dd, _):
+                    d = min_disp + dd
+                    mask = ((lane_acc + dj >= d)
+                            & (lane_acc + dj <= width - 1 + d))
+                    den[dd] = den[dd] + wsum * mask.astype(jnp.float32)
+                    return 0
+                jax.lax.fori_loop(0, D, den_body, 0)
         return 0
 
     jax.lax.fori_loop(0, n_j, col_body, 0)
 
     cost = num[...]
+    if normalize:
+        cost = cost / jnp.maximum(den[...], 1e-12)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (D, th, w_acc), 2)
     dcand = jax.lax.broadcasted_iota(jnp.int32, (D, th, w_acc), 0) + min_disp
     ok = (lanes >= dcand) & (lanes <= (width - 1) + dcand)
@@ -216,9 +255,11 @@ def _gsw_kernel(planes_hbm, *refs, pad, w_acc, w_slab, min_disp, max_disp,
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "win_size", "min_disp", "max_disp", "gamma",
-                     "f_max", "interpret", "tile_h", "step", "ext_vol"))
+                     "f_max", "interpret", "tile_h", "step", "ext_vol",
+                     "normalize"))
 def _gsw_pass_pallas(planes, *, H, W, win_size, min_disp, max_disp, gamma,
-                     f_max, interpret, tile_h, step=1, ext_vol=False):
+                     f_max, interpret, tile_h, step=1, ext_vol=False,
+                     normalize=False):
     """One matching direction. planes: (6, Hp, w_slab) f32 padded, or
     (B, 6, Hp, w_slab) — the batch rides a leading grid axis in the same
     launch (never vmap around a pallas_call: it cannot lower on TPU).
@@ -236,7 +277,7 @@ def _gsw_pass_pallas(planes, *, H, W, win_size, min_disp, max_disp, gamma,
         _gsw_kernel, pad=pad, w_acc=w_acc, w_slab=w_slab,
         min_disp=min_disp, max_disp=max_disp, gamma=float(gamma),
         f_max=float(f_max), win_size=win_size, tile_h=tile_h, width=W,
-        batched=batched, step=step, ext_vol=ext_vol)
+        batched=batched, step=step, ext_vol=ext_vol, normalize=normalize)
 
     if batched:
         B = planes.shape[0]
@@ -267,6 +308,8 @@ def _gsw_pass_pallas(planes, *, H, W, win_size, min_disp, max_disp, gamma,
             pltpu.VMEM(((D, sr, w_slab) if D > _D_UNROLL else (1, 8, 128)),
                        jnp.float32),
             pltpu.VMEM((D, tile_h, w_acc), jnp.float32),
+            pltpu.VMEM(((D, tile_h, w_acc) if normalize else (1, 8, 128)),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -349,9 +392,10 @@ def _lr_finish(dispL, dispR, *, W, min_disp):
 @functools.partial(
     jax.jit,
     static_argnames=("win_size", "max_disp", "min_disp", "gamma", "f_max",
-                     "consistent", "interpret", "step"))
+                     "consistent", "interpret", "step", "normalize"))
 def _gsw_disparity_jit(img1, img2, *, win_size, max_disp, min_disp, gamma,
-                       f_max, consistent, interpret, step=1):
+                       f_max, consistent, interpret, step=1,
+                       normalize=False):
     """Whole (optionally consistent) pipeline as ONE device program.
 
     Consistent mode stacks the left-reference and the mirrored
@@ -359,10 +403,12 @@ def _gsw_disparity_jit(img1, img2, *, win_size, max_disp, min_disp, gamma,
     computes both directions (GSW has no ASW-style cost symmetry — the
     support weights are one-sided)."""
     H, W = img1.shape[:2]
-    tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1)
+    tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1,
+                          normalize=normalize)
     kw = dict(H=H, W=W, win_size=win_size, min_disp=min_disp,
               max_disp=max_disp, gamma=gamma, f_max=f_max,
-              interpret=interpret, tile_h=tile_h, step=step)
+              interpret=interpret, tile_h=tile_h, step=step,
+              normalize=normalize)
 
     if not consistent:
         planes = _build_planes(img1, img2, win_size, tile_h)
@@ -381,16 +427,19 @@ def _gsw_disparity_jit(img1, img2, *, win_size, max_disp, min_disp, gamma,
 @functools.partial(
     jax.jit,
     static_argnames=("win_size", "max_disp", "min_disp", "gamma", "f_max",
-                     "consistent", "interpret", "step"))
+                     "consistent", "interpret", "step", "normalize"))
 def _gsw_disparity_batch_jit(imgs1, imgs2, *, win_size, max_disp, min_disp,
-                             gamma, f_max, consistent, interpret, step=1):
+                             gamma, f_max, consistent, interpret, step=1,
+                             normalize=False):
     """Batched pipeline: ONE kernel launch for the whole frame stack
     (both matching directions included when ``consistent``)."""
     B, H, W = imgs1.shape[:3]
-    tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1)
+    tile_h = _pick_tile_h(H, W, win_size, max_disp - min_disp + 1,
+                          normalize=normalize)
     kw = dict(H=H, W=W, win_size=win_size, min_disp=min_disp,
               max_disp=max_disp, gamma=gamma, f_max=f_max,
-              interpret=interpret, tile_h=tile_h, step=step)
+              interpret=interpret, tile_h=tile_h, step=step,
+              normalize=normalize)
 
     build = jax.vmap(
         lambda a, b: _build_planes(a, b, win_size, tile_h))
@@ -411,7 +460,7 @@ def _gsw_disparity_batch_jit(imgs1, imgs2, *, win_size, max_disp, min_disp,
 
 def gsw_disparity_pallas(img1, img2, win_size=11, max_disp=16, min_disp=0,
                          gamma=10.0, f_max=120.0, consistent=False,
-                         interpret=None, step=1):
+                         interpret=None, step=1, normalize=False):
     """GSW disparity on TPU (Pallas production path, "sd" cost).
 
     Semantics are validated bit-for-bit (interpreter mode) against the
@@ -419,6 +468,15 @@ def gsw_disparity_pallas(img1, img2, win_size=11, max_disp=16, min_disp=0,
     mirror the reference StereoGSW (passive.py:133-145). ``iterations``
     does not appear: the chamfer recursion's converged value is the
     closed-form weight (see gsw._gsw_weights), in the reference too.
+
+    ``normalize`` (round 4, beyond-reference): ASW-style weighted-mean
+    cost — the denominator sums the weights of the candidate-valid
+    window pixels; in-kernel it is one wsum accumulation per column
+    offset plus a per-(offset, d) lane-validity MAC (out-of-image window
+    pixels already carry w == 0 via the BGR sentinel). Normalized costs
+    are RATIOS of float sums, so unlike the integer-separated "sd"
+    costs they can near-tie; expect rare argmin flips vs the XLA form
+    (same caveat as ASW, CLAUDE.md), not bit-parity.
     """
     if interpret is None:
         interpret = _auto_interpret()
@@ -426,12 +484,14 @@ def gsw_disparity_pallas(img1, img2, win_size=11, max_disp=16, min_disp=0,
         jnp.asarray(img1), jnp.asarray(img2), win_size=int(win_size),
         max_disp=int(max_disp), min_disp=int(min_disp), gamma=float(gamma),
         f_max=float(f_max), consistent=bool(consistent),
-        interpret=bool(interpret), step=int(step))
+        interpret=bool(interpret), step=int(step),
+        normalize=bool(normalize))
 
 
 def gsw_disparity_pallas_batch(imgs1, imgs2, win_size=11, max_disp=16,
                                min_disp=0, gamma=10.0, f_max=120.0,
-                               consistent=False, interpret=None, step=1):
+                               consistent=False, interpret=None, step=1,
+                               normalize=False):
     """Batched :func:`gsw_disparity_pallas`: (B, H, W, 3) -> (B, H, W)
     int16, one kernel launch for the stack."""
     if interpret is None:
@@ -440,6 +500,7 @@ def gsw_disparity_pallas_batch(imgs1, imgs2, win_size=11, max_disp=16,
         jnp.asarray(imgs1), jnp.asarray(imgs2), win_size=int(win_size),
         max_disp=int(max_disp), min_disp=int(min_disp), gamma=float(gamma),
         f_max=float(f_max), consistent=bool(consistent),
+        normalize=bool(normalize),
         interpret=bool(interpret), step=int(step))
 
 

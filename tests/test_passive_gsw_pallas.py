@@ -77,9 +77,6 @@ def test_pallas_sentinel_extended_float_rows(rng):
 
 def test_engine_dispatch_and_validation(rng):
     img1, img2 = _pair(rng, 12, 24)
-    # 'pallas' rejects the XLA-only modes instead of silently falling back
-    with pytest.raises(ValueError):
-        gsw_disparity(img1, img2, engine="pallas", normalize=True)
     with pytest.raises(ValueError):
         gsw_disparity(img1, img2, engine="nope")
     with pytest.raises(ValueError):
@@ -97,6 +94,81 @@ def test_engine_dispatch_and_validation(rng):
         np.stack([img1, img1]), np.stack([img2, img2]))
     np.testing.assert_array_equal(db[0], d)
     np.testing.assert_array_equal(db[1], d)
+
+
+# --------------------------------------------------------------------------
+# normalize (ASW-style weighted mean) on the kernel (round 4)
+# --------------------------------------------------------------------------
+
+NORM_CASES = [
+    # (h, w, win, min_disp, max_disp, consistent, step)
+    (20, 40, 5, 0, 4, False, 1),
+    (24, 52, 7, 2, 9, True, 1),
+    (17, 33, 5, -3, 4, True, 1),     # negative minDisparity (marker path)
+    (16, 48, 3, 0, 20, False, 1),    # D>16: fori den-accumulate path
+    (24, 52, 9, 2, 9, True, 2),      # subsampled window lattice (step)
+]
+
+
+@pytest.mark.parametrize("h,w,win,mind,maxd,cons,step", NORM_CASES)
+def test_pallas_normalize_matches_xla(rng, h, w, win, mind, maxd, cons,
+                                      step):
+    """Normalized costs are RATIOS of float sums (unlike the
+    integer-separated 'sd' sums), so the kernel's different accumulation
+    grouping can flip exact ties — gate at a small mismatch fraction
+    instead of bit-parity (ASW-style caveat, CLAUDE.md)."""
+    img1, img2 = _pair(rng, h, w)
+    kw = dict(win_size=win, min_disp=mind, max_disp=maxd, gamma=10.0,
+              f_max=60.0, consistent=cons, step=step, normalize=True)
+    a = np.asarray(gsw_disparity(img1, img2, engine="xla", **kw))
+    b = np.asarray(gsw_disparity(img1, img2, engine="pallas", **kw))
+    assert (a != b).mean() <= 0.005, (a != b).mean()
+
+
+def test_pallas_normalize_changes_borders_only(rng):
+    """normalize rescales the window cost by the summed weight of the
+    candidate-VALID pixels; away from the candidate-validity boundary
+    the denominator is d-independent, so the argmin — and the disparity
+    — can only change near the left border band."""
+    img1, img2 = _pair(rng, 20, 60)
+    kw = dict(win_size=7, min_disp=0, max_disp=5, gamma=10.0, f_max=60.0)
+    plain = np.asarray(gsw_disparity(img1, img2, engine="pallas", **kw))
+    norm = np.asarray(gsw_disparity(img1, img2, engine="pallas",
+                                    normalize=True, **kw))
+    band = 5 + 7 // 2  # max_disp + pad
+    np.testing.assert_array_equal(plain[:, band:], norm[:, band:])
+    assert (plain[:, :band] != norm[:, :band]).any()  # it does something
+
+
+def test_pallas_normalize_batch_matches_single(rng):
+    imgs1 = rng.integers(0, 256, (3, 16, 40, 3), np.uint8)
+    imgs2 = np.stack([np.roll(a, -2, axis=1) for a in imgs1])
+    for cons in (False, True):
+        b = np.asarray(gsw_disparity_pallas_batch(
+            imgs1, imgs2, win_size=5, max_disp=4, consistent=cons,
+            normalize=True))
+        for i in range(3):
+            s = np.asarray(gsw_disparity_pallas(
+                imgs1[i], imgs2[i], win_size=5, max_disp=4,
+                consistent=cons, normalize=True))
+            np.testing.assert_array_equal(b[i], s)
+
+
+def test_normalize_class_batch_routes_to_kernel(rng, monkeypatch):
+    import simplestereo_tpu.passive.gsw_pallas as gp
+    called = {}
+    orig = gp.gsw_disparity_pallas_batch
+
+    def spy(*a, **k):
+        called["normalize"] = k.get("normalize")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gp, "gsw_disparity_pallas_batch", spy)
+    img1, img2 = _pair(rng, 12, 24)
+    m = StereoGSW(winSize=5, maxDisparity=4, engine="pallas",
+                  normalize=True)
+    m.computeBatch(np.stack([img1]), np.stack([img2]))
+    assert called["normalize"] is True
 
 
 # --------------------------------------------------------------------------

@@ -372,3 +372,18 @@ def test_graycode_cloud_fused_on_hardware(tpu_ok):
     z = cloud[np.isfinite(cloud[:, 2]), 2]
     assert len(z) > 0.5 * w * h
     assert abs(np.median(z) - z0) < 0.03 * z0
+
+
+def test_gsw_normalize_pallas_on_hardware(tpu_ok, rng):
+    """Round 4: the in-kernel normalize denominator (wsum per column
+    offset + per-(offset, d) lane-validity MAC) must lower and track the
+    XLA form on the real chip. Normalized costs are float ratios, so
+    hardware exp/sqrt ulp flips CAN occur — gate at 1%."""
+    from simplestereo_tpu.passive.gsw import gsw_disparity
+    img1 = rng.integers(0, 256, (24, 48, 3), np.uint8)
+    img2 = np.roll(img1, -3, axis=1)
+    kw = dict(win_size=7, max_disp=6, min_disp=-2, gamma=10.0,
+              f_max=60.0, consistent=True, normalize=True)
+    a = np.asarray(gsw_disparity(img1, img2, engine="xla", **kw))
+    b = np.asarray(gsw_disparity(img1, img2, engine="pallas", **kw))
+    assert (a != b).mean() <= 0.01, (a != b).mean()
