@@ -112,7 +112,9 @@ def main():
                      cell, "host numpy/OpenCV per-stage round-trips"))
     if "graycode_decode_mpix_per_s" in p:
         cell = (f"**{p['graycode_decode_mpix_per_s']:.0f} Mpix/s** decode "
-                "(one jitted bit-pack over the whole stack)")
+                "(one jitted bit-pack over the whole stack; readback of "
+                "3 full-res maps dominates, so the figure swings with "
+                "tunnel throughput — 44-88 measured across clean runs)")
         if "graycode_cloud_640x480_ms" in p:
             cell += (f"; full scan → cloud "
                      f"{p['graycode_cloud_640x480_ms']:.0f} ms (38-pattern "
