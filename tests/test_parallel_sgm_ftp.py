@@ -170,6 +170,23 @@ def test_tiled_gsw_pallas_engine_bit_parity(rng, consistent):
     np.testing.assert_array_equal(single, tiled)
 
 
+def test_tiled_gsw_pallas_normalize_bit_parity(rng):
+    """Round 4: the in-kernel normalize denominator under shard_map —
+    sentinel halo rows contribute exact 0.0 to both num and den, so the
+    tiled run must stay bit-identical to the single-device kernel."""
+    from simplestereo_tpu.passive.gsw import gsw_disparity
+
+    mesh = parallel.make_mesh({"rows": 4},
+                              devices=__import__("jax").devices()[:4])
+    img1, img2 = _pair(rng, h=24, w=40)
+    kw = dict(win_size=5, max_disp=4, min_disp=0, gamma=10.0, f_max=60.0,
+              consistent=True, normalize=True, engine="pallas")
+    single = np.asarray(gsw_disparity(img1, img2, iterations=1, **kw))
+    tiled = np.asarray(parallel.tiled_gsw_disparity(
+        img1, img2, mesh, iterations=1, **kw))
+    np.testing.assert_array_equal(single, tiled)
+
+
 @pytest.mark.slow
 def test_tiled_gsw_normalized_negative_mindisp(rng):
     from simplestereo_tpu.passive.gsw import gsw_disparity
