@@ -294,6 +294,25 @@ def test_ftp_cloud_batch_matches_single(ftp_scene):
         mapping.getCloudBatch(imgs)
 
 
+def test_ftp_cloud_batch_roi_matches_single(ftp_scene):
+    """getCloudBatch with a non-trivial ROI: the batched preamble's crop
+    and the per-frame stripe/carrier control plane must use the same
+    roi_x/roi_y offset math as the single-frame path."""
+    ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],
+                    ftp_scene["period"])
+    cam = ftp_scene["cam_img"]
+    roi = (6, 4, CAM_RES[0] - 14, CAM_RES[1] - 10)
+    imgs = np.stack([cam, np.roll(cam, 1, axis=0)])
+    batch = ftp.getCloudBatch(imgs, roi=roi)
+    assert batch.shape == (2, roi[3], roi[2], 3)
+    for b in range(2):
+        single = ftp.getCloud(imgs[b], roi=roi)
+        both = np.isfinite(single[..., 2]) & np.isfinite(batch[b, ..., 2])
+        assert both.mean() > 0.95
+        dz = np.abs(single[..., 2] - batch[b, ..., 2])[both]
+        assert dz.max() < 1e-2, dz.max()
+
+
 def test_ftp_rejects_gray_image(ftp_scene):
     ftp = StereoFTP(ftp_scene["rig"], ftp_scene["fringe"],
                     ftp_scene["period"])

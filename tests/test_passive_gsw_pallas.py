@@ -107,6 +107,7 @@ NORM_CASES = [
     (17, 33, 5, -3, 4, True, 1),     # negative minDisparity (marker path)
     (16, 48, 3, 0, 20, False, 1),    # D>16: fori den-accumulate path
     (24, 52, 9, 2, 9, True, 2),      # subsampled window lattice (step)
+    (16, 140, 7, 0, 5, True, 1),     # W past one lane tile (w_acc=256)
 ]
 
 
