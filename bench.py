@@ -60,7 +60,7 @@ _CHILD_ENV = "SSTPU_BENCH_CHILD"
 _RC_BACKEND = 42  # child exit code meaning "backend init failed, retry me"
 _MAX_ATTEMPTS = int(os.environ.get("SSTPU_BENCH_ATTEMPTS", "10"))
 _BACKOFF_S = float(os.environ.get("SSTPU_BENCH_BACKOFF_S", "60"))
-_N_TIMED = 8  # timed calls per stage (dispersion needs >= 8)
+_N_TIMED = 9  # inputs per stage: 1 warm-only + 8 timed (dispersion >= 8)
 
 
 def _parent():
@@ -102,10 +102,18 @@ def _parent():
 
 
 def _prior_parsed():
-    """Newest BENCH_r*.json with a parsed payload (for deltas_vs_prior)."""
+    """Newest BENCH_r*.json with a parsed payload (for deltas_vs_prior).
+    Sorted by the ROUND NUMBER, not lexicographically (r9 must not
+    outrank r10)."""
+    import re as _re
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def _round_no(path):
+        m = _re.search(r"BENCH_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
     for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                    reverse=True):
+                    key=_round_no, reverse=True):
         try:
             d = json.load(open(f))
         except Exception:
@@ -172,14 +180,16 @@ def _child():
         return float(np.median(ts))
 
     def timed(name, fn, inputs):
-        """Compile on inputs[0], then one full-readback timed call per
-        input. Records {ms, n, iqr_ms, sentinel_ms} in stats[name] and
-        flags the stage if the pre/post sentinels skew >20% (concurrent
-        host/tunnel load). Returns the median seconds."""
+        """Compile on inputs[0] (warm-only — NEVER re-timed: the tunnel
+        can serve a repeated (program, input) pair from cache, which
+        would bias the sample), then one full-readback timed call per
+        REMAINING input. Records {ms, n, iqr_ms, sentinel_ms} in
+        stats[name] and flags the stage if the pre/post sentinels skew
+        >20% (concurrent host/tunnel load). Returns the median seconds."""
         pre = sentinel()
-        np.asarray(fn(inputs[0]))  # compile
+        np.asarray(fn(inputs[0]))  # compile + warm (excluded from timing)
         ts = []
-        for x in inputs:
+        for x in inputs[1:]:
             t0 = time.perf_counter()
             np.asarray(fn(x))
             ts.append(time.perf_counter() - t0)
@@ -435,14 +445,15 @@ def _child():
     # Throughput form of getCloud: the dense work of a (B, H, W, 3)
     # capture stack is two device programs regardless of B, so per-frame
     # dispatch latency (the dominant single-frame cost on this link) is
-    # paid once per batch. 4 timed calls (each moves ~37 MB over the
-    # tunnel) keep the stage's wall-clock bounded; n is recorded.
+    # paid once per batch. 1 warm + 4 timed calls (each moves ~37 MB
+    # over the tunnel) keep the stage's wall-clock bounded; n is
+    # recorded.
     try:
         Bf = 8
         stacks_f = [np.stack([np.clip(cam.astype(np.int16)
                                       + rngf.integers(-2, 3, cam.shape),
                                       0, 255).astype(np.uint8)
-                              for _ in range(Bf)]) for _ in range(4)]
+                              for _ in range(Bf)]) for _ in range(5)]
         cb_holder = []
 
         def ftp_batch_call(st):

@@ -21,9 +21,11 @@ import numpy as np
 
 
 def _timed(fn, inputs):
-    np.asarray(fn(inputs[0]))  # compile
+    """inputs[0] is compile/warm-only — never re-timed (the tunnel can
+    serve a repeated (program, input) pair from cache)."""
+    np.asarray(fn(inputs[0]))
     ts = []
-    for x in inputs:
+    for x in inputs[1:]:
         t0 = time.perf_counter()
         np.asarray(fn(x))
         ts.append(time.perf_counter() - t0)
@@ -46,7 +48,7 @@ def main():
     out = {"frame": [W, H]}
 
     rightd = jnp.asarray(right)
-    lefts = [jnp.asarray(np.roll(left, i, axis=0)) for i in range(4)]
+    lefts = [jnp.asarray(np.roll(left, i, axis=0)) for i in range(5)]
     for x in lefts:
         x.block_until_ready()
 

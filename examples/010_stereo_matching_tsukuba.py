@@ -45,11 +45,13 @@ for name, disp, scale, inval in (("ASW", dispASW, 1.0, aswInval),
     vis = (d - d.min()) / max(np.ptp(d), 1) * 255
     imwrite(f"tsukuba_{name.lower()}.png", vis.astype(np.uint8))
 
-# Best-quality one-call preset: consistent sub-pixel ASW + WLS (dense
-# float output — the framework's best answer without retuning knobs).
+# Best-quality one-call preset. Defaults are the PLAIN tuned consistent
+# ASW — the measured-best point on Tsukuba's integer ground truth; the
+# subpixel/WLS levers are off unless asked for (see the measured
+# trade-off table in passive/presets.py).
 dispQ = ss.passive.quality_disparity(img1, img2, 4, 14)
 r = evaluate_disparity(dispQ, gt, nonocc, gt_scale=tsukuba_scale)
-print(f"quality preset (ASW subpixel + WLS): bad-2.0 = {r['bad2']:.2%}"
+print(f"quality preset (tuned consistent ASW): bad-2.0 = {r['bad2']:.2%}"
       f"  avgerr = {r['avgerr']:.2f}px  rms = {r['rms']:.2f}px"
       f"  density = {r['density']:.2%}")
 visQ = (dispQ - dispQ.min()) / max(np.ptp(dispQ), 1) * 255

@@ -689,6 +689,11 @@ class StereoFTP:
         imgs = np.asarray(imgs)
         if imgs.ndim != 4 or imgs.shape[-1] != 3:
             raise ValueError("imgs must be a (B, H, W, 3) BGR stack!")
+        # same stripe-parameter contract as the single-frame _cloud_prep
+        if not 0 <= self.stripeSensitivity <= 1:
+            raise ValueError("Threshold must be in the interval [0,1]!")
+        if self.stripeColor not in _CHANNEL:
+            raise ValueError("Color value not permitted!")
         if isinstance(self, StereoFTP_Mapping):
             # the classic no-virtual-reference pipeline (its getCloud
             # maps phase straight to projector x) — silently running the
@@ -796,7 +801,8 @@ class StereoFTP_Mapping(StereoFTP):
     directly to projector x coordinates."""
 
     def getCloud(self, imgObj, radius_factor=0.5, roi=None,
-                 unwrappingMethod=None, plot=False, dump=None):
+                 unwrappingMethod=None, plot=False, dump=None,
+                 out_dtype=None):
         imgObj = np.asarray(imgObj)
         if imgObj.ndim != 3:
             raise ValueError("image must be a BGR color image!")
@@ -857,7 +863,9 @@ class StereoFTP_Mapping(StereoFTP):
         gx, gy = np.meshgrid(np.arange(roi_w), np.arange(roi_h))
         cam = np.stack([gx, gy], -1).reshape(-1, 2).astype(np.float64) + 0.5
         pts = self._triangulate(cam, Xp.ravel(), roi)
-        return pts.reshape(roi_h, roi_w, 3)
+        pts = pts.reshape(roi_h, roi_w, 3)
+        # keep the base-class getCloud contract (polymorphic callers)
+        return pts if out_dtype is None else pts.astype(out_dtype)
 
 
 class StereoFTP_PhaseOnly(StereoFTP):

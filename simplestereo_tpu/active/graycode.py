@@ -71,20 +71,25 @@ def _gray_host(img, res):
     uint8 in, uint8 out (BGR inputs are grayscaled and rounded back to
     uint8, cv2.cvtColor semantics — the reference's whole decode runs on
     uint8 grayscale captures): the stack upload is the scan's largest
-    host->device transfer, and uint8 is 4x smaller than float."""
+    host->device transfer, and uint8 is 4x smaller than float. Any other
+    dtype (float captures normalized to [0, 1], >8-bit sensors) keeps
+    its VALUES and becomes float32 — quantizing to uint8 would crush it
+    (e.g. a [0, 1] stack collapses to {0, 1} and decode returns
+    garbage)."""
     if isinstance(img, (str, bytes)):
         from ..imgio import imread
         img = imread(img, grayscale=True)
     img = np.asarray(img)
+    was_u8 = img.dtype == np.uint8
     if img.ndim == 3:
-        img = np.round(0.114 * img[..., 0] + 0.587 * img[..., 1]
-                       + 0.299 * img[..., 2])
+        g = (0.114 * img[..., 0] + 0.587 * img[..., 1]
+             + 0.299 * img[..., 2])
+        img = np.round(g).astype(np.uint8) if was_u8 else g
     w, h = res
     if img.shape != (h, w):
         raise ValueError("Image size mismatch!")
-    if img.dtype != np.uint8:
-        img = np.clip(np.round(np.asarray(img, np.float64)),
-                      0, 255).astype(np.uint8)
+    if not was_u8 and img.dtype != np.float32:
+        img = np.asarray(img, np.float32)
     return img
 
 
@@ -98,8 +103,9 @@ def _undistort_stack(imgs_np, K, dist, res):
     (identical per-plane math), turning N host-device round-trips into
     one, and the upload stays uint8 (the 38-pattern 640x480 stack is
     11.7 MB vs 46.7 MB as f32 — the transfer dominated the scan).
-    Returns a device-resident (N, H, W) uint8 stack (remap rounds
-    integer inputs, cv2 semantics). A rig with no distortion skips the
+    Returns a device-resident (N, H, W) stack in the input dtype family
+    (uint8 stays uint8 — remap rounds integer inputs, cv2 semantics;
+    float stacks stay float). A rig with no distortion skips the
     resample entirely."""
     import jax.numpy as jnp  # local: keep module import light
 
@@ -135,10 +141,11 @@ def _graycode_cloud_device(und, K2, dist2, Rect1, Rect2, R_inv3, baseline,
     w2, h2 = res2
     valid = valid & (px < w2) & (py < h2)
     if shadow:
-        # strict >, cv2 computeShadowMasks semantics (int16: a uint8
-        # difference would wrap where black > white)
-        valid = valid & ((und[-1].astype(jnp.int16)
-                          - und[-2].astype(jnp.int16)) > black_thr)
+        # strict >, cv2 computeShadowMasks semantics (f32: a uint8
+        # difference would wrap where black > white; exact for 8-bit
+        # values and correct for float captures)
+        valid = valid & ((und[-1].astype(jnp.float32)
+                          - und[-2].astype(jnp.float32)) > black_thr)
     H, W = px.shape
     if roi is not None:
         rx, ry, rw, rh = roi
@@ -205,14 +212,6 @@ class GrayCode:
         R_inv[:3, :3] = np.linalg.inv(commonR)
         self.R_inv = R_inv
 
-    def _load(self, img):
-        """Load + grayscale + undistort one capture (kept for API
-        compatibility; the decode path batches the undistortion —
-        see :func:`_undistort_stack`)."""
-        return np.asarray(warp.undistort_image(
-            _gray_host(img, self.rig.res1),
-            self.rig.intrinsic1, self.rig.distCoeffs1))
-
     def decode(self, images, black=None, white=None):
         """Decode captured pattern images to per-pixel projector coords.
 
@@ -238,10 +237,11 @@ class GrayCode:
         w2, h2 = self.rig.res2
         valid = valid & (px < w2) & (py < h2)
         if shadow:
-            # strict >, cv2 computeShadowMasks semantics (int16: a uint8
-            # difference would wrap where black > white)
-            lit = np.asarray(und[-1].astype(jnp.int16)
-                             - und[-2].astype(jnp.int16)) > self.black_thr
+            # strict >, cv2 computeShadowMasks semantics (f32: a uint8
+            # difference would wrap where black > white; exact for 8-bit
+            # values and correct for float captures)
+            lit = np.asarray(und[-1].astype(jnp.float32)
+                             - und[-2].astype(jnp.float32)) > self.black_thr
             valid = valid & lit
         return px, py, valid
 
@@ -322,12 +322,6 @@ class GrayCodeDouble:
         R_inv[:3, :3] = np.linalg.inv(commonR)
         self.R_inv = R_inv
 
-    def _load_one(self, im, K, dist, res):
-        """Single-capture load + undistort (API-compat; the decode path
-        batches the undistortion — see :func:`_undistort_stack`)."""
-        return np.asarray(warp.undistort_image(_gray_host(im, res), K,
-                                               dist))
-
     def _decode_cam(self, images, K, dist, res, black=None, white=None):
         imgs = [_gray_host(im, res)
                 for im in images[: self.num_patterns]]
@@ -341,10 +335,11 @@ class GrayCodeDouble:
         px, py, valid = map(np.asarray, (px, py, valid))
         valid = valid & (px < self.projRes[0]) & (py < self.projRes[1])
         if shadow:
-            # strict >, cv2 computeShadowMasks semantics (int16: a uint8
-            # difference would wrap where black > white)
-            lit = np.asarray(und[-1].astype(jnp.int16)
-                             - und[-2].astype(jnp.int16)) > self.black_thr
+            # strict >, cv2 computeShadowMasks semantics (f32: a uint8
+            # difference would wrap where black > white; exact for 8-bit
+            # values and correct for float captures)
+            lit = np.asarray(und[-1].astype(jnp.float32)
+                             - und[-2].astype(jnp.float32)) > self.black_thr
             valid = valid & lit
         return px, py, valid
 

@@ -317,6 +317,10 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
         raise ValueError("step must be >= 1!")
     if step > 1 and cost_method == "mi":
         raise ValueError("step > 1 requires cost_method='sd'!")
+    if cost_method == "mi" and mi_iterations < 1:
+        # 0 would return the random bootstrap field on the XLA path and
+        # one full iteration on the kernel path — reject instead
+        raise ValueError("mi_iterations must be >= 1!")
     if engine == "pallas" or (
             engine == "auto" and jax.default_backend() == "tpu"):
         if cost_method == "mi":

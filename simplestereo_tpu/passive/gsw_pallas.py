@@ -526,6 +526,10 @@ def _mi_iter_steps(mi_iterations, coarse_step):
     feed the GLOBAL joint histogram (an intensity statistic, not
     geometry), so they tolerate the kernel's subsampled-window ``step``
     mode; the final aggregation is always exact (step=1)."""
+    if mi_iterations < 1:
+        # the XLA engine runs zero iterations here (returns the random
+        # bootstrap) — reject rather than silently diverge
+        raise ValueError("mi_iterations must be >= 1!")
     return [coarse_step] * (mi_iterations - 1) + [1]
 
 

@@ -48,7 +48,7 @@ def quality_disparity(img1, img2, min_disp=0, max_disp=16, *,
                       matcher="asw", win_size=35, gamma_c=15.0,
                       gamma_p=17.5, subpixel=False, block_size=3,
                       p1=120, p2=480, wls_lambda=None,
-                      wls_sigma_color=2.0):
+                      wls_sigma_color=None):
     """Best-quality disparity in one call: tuned matcher (+ optional
     sub-pixel / WLS levers with measured trade-offs — see the module
     docstring's Tsukuba table).
@@ -74,8 +74,11 @@ def quality_disparity(img1, img2, min_disp=0, max_disp=16, *,
         bad-N/avgerr). A float (4.0 recommended) enables RMS-optimized
         edge-aware smoothing. The SGM leg always WLS-fills its
         invalidated pixels (lambda 2 unless overridden).
-    wls_sigma_color : float
-        WLS guide-gradient falloff (smaller = stricter edges).
+    wls_sigma_color : float or None
+        WLS guide-gradient falloff (smaller = stricter edges). None
+        (default) uses the measured-best value per leg: 2.0 on the ASW
+        leg (when WLS is enabled via ``wls_lambda``), 8.0 for the SGM
+        leg's confidence-weighted fill.
 
     Returns
     -------
@@ -101,7 +104,8 @@ def quality_disparity(img1, img2, min_disp=0, max_disp=16, *,
         # consistent ASW is already dense (occlusion fill); WLS smooths
         return wls_filter_disparity(
             disp, _gray_guide(img1), lambda_=float(wls_lambda),
-            sigma_color=float(wls_sigma_color))
+            sigma_color=(2.0 if wls_sigma_color is None
+                         else float(wls_sigma_color)))
     if matcher == "sgm":
         from .sgm import StereoSGM
 
@@ -114,8 +118,8 @@ def quality_disparity(img1, img2, min_disp=0, max_disp=16, *,
         lam = 2.0 if wls_lambda is None else float(wls_lambda)
         return wls_filter_disparity(
             d16, _gray_guide(img1), lambda_=lam,
-            sigma_color=float(wls_sigma_color) if wls_lambda is not None
-            else 8.0,
+            sigma_color=(8.0 if wls_sigma_color is None
+                         else float(wls_sigma_color)),
             invalid=(min_disp - 1) * 16, disp_scale=1 / 16.0)
     raise ValueError("matcher must be 'asw' or 'sgm'!")
 

@@ -85,6 +85,27 @@ def test_graycode_decode_identity():
     assert (px == gx).all() and (py == gy).all()
 
 
+def test_graycode_decode_float_captures():
+    """Float capture stacks (e.g. normalized to [0, 1]) must decode with
+    their values preserved — quantizing them to uint8 would collapse
+    [0, 1] to {0, 1} and silently return garbage (round-4 regression
+    guard on _gray_host)."""
+    rig = _make_rig()
+    pats, nx, ny = graycode_patterns(rig.res2)
+    mapu, mapv, _ = _proj_coords_for_plane(rig, 500.0)
+    # identical scene, two encodings
+    caps8 = [_capture(p, mapu, mapv) for p in pats]
+    capsf = [c.astype(np.float32) / 255.0 for c in caps8]
+    gc8 = GrayCode(rig, white_thr=5)
+    gcf = GrayCode(rig, white_thr=5 / 255.0)
+    px8, py8, v8 = gc8.decode(caps8)
+    pxf, pyf, vf = gcf.decode(capsf)
+    assert v8.any()
+    np.testing.assert_array_equal(v8, vf)
+    np.testing.assert_array_equal(px8[v8], pxf[vf])
+    np.testing.assert_array_equal(py8[v8], pyf[vf])
+
+
 def test_generate_graycode_imgs(tmp_path):
     n = ss.active.generateGrayCodeImgs(str(tmp_path), (32, 16))
     assert n == 2 * (5 + 4)

@@ -84,6 +84,15 @@ def test_engine_dispatch_and_validation(rng):
     with pytest.raises(ValueError):
         gsw_disparity(img1, img2, step=2, cost_method="mi")
     with pytest.raises(ValueError):
+        # 0 would return the bootstrap on XLA and one refinement on the
+        # kernel — both engines must reject it
+        gsw_disparity(img1, img2, cost_method="mi", mi_iterations=0)
+    with pytest.raises(ValueError):
+        from simplestereo_tpu.passive.gsw_pallas import (
+            gsw_mi_disparity_pallas)
+        gsw_mi_disparity_pallas(img1, img2, win_size=5, max_disp=4,
+                                mi_iterations=0, interpret=True)
+    with pytest.raises(ValueError):
         StereoGSW(engine="nope")
     # 'auto' off-TPU stays on XLA; the class routes engine through
     m = StereoGSW(winSize=5, maxDisparity=4, engine="pallas")
