@@ -24,7 +24,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
-    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--reps", type=int, default=6)  # 1 warm + 5 timed
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -65,8 +65,10 @@ def main(argv=None):
     cloud = ftp.getCloud(frames[0])
     compile_s = time.perf_counter() - t0
 
+    # frames[0] is compile/warm-only — never re-timed (the tunnel can
+    # serve a repeated (program, input) pair from cache)
     times = []
-    for fimg in frames:
+    for fimg in frames[1:]:
         t0 = time.perf_counter()
         cloud = ftp.getCloud(fimg)
         np.asarray(cloud)
