@@ -93,6 +93,16 @@ def _gray_host(img, res):
     return img
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _undistort_stack_device(imgs, K, dist, size):
+    """Map construction + stack resample as ONE jitted device program
+    (eager ops cost ~20 ms each over the tunnel; the unjitted form of
+    this chain paid ~15 dispatches per scan)."""
+    mapx, mapy = warp.init_undistort_rectify_map(K, dist, None, K, size)
+    und = warp.remap(jnp.transpose(imgs, (1, 2, 0)), mapx, mapy)
+    return jnp.transpose(und, (2, 0, 1))
+
+
 def _undistort_stack(imgs_np, K, dist, res):
     """Undistort a whole (N, H, W) uint8 capture stack in ONE device
     resample.
@@ -107,15 +117,55 @@ def _undistort_stack(imgs_np, K, dist, res):
     (uint8 stays uint8 — remap rounds integer inputs, cv2 semantics;
     float stacks stay float). A rig with no distortion skips the
     resample entirely."""
-    import jax.numpy as jnp  # local: keep module import light
+    from ..geometry.distortion import pad_dist_coeffs
 
     if dist is None or not np.any(np.asarray(dist)):
         return jnp.asarray(imgs_np)
     w, h = res
-    mapx, mapy = warp.init_undistort_rectify_map(K, dist, None, K, (w, h))
-    und = warp.remap(jnp.transpose(jnp.asarray(imgs_np), (1, 2, 0)),
-                     mapx, mapy)
-    return jnp.transpose(und, (2, 0, 1))
+    return _undistort_stack_device(
+        jnp.asarray(imgs_np), jnp.asarray(K, jnp.float32),
+        jnp.asarray(pad_dist_coeffs(dist)), (w, h))
+
+
+def _load_stack(images, black, white, K, dist, res, num_patterns):
+    """Host load + grayscale of a capture list, optional black/white
+    shadow captures appended (so ``und[-2]`` = black, ``und[-1]`` =
+    white), then the whole stack undistorted in one device resample.
+    Returns ``(und, shadow)`` — the device-resident stack and whether
+    shadow captures are present. Shared by :meth:`GrayCode.decode`,
+    :meth:`GrayCode.getCloud` and :meth:`GrayCodeDouble._decode_cam`."""
+    imgs = [_gray_host(i, res) for i in images[:num_patterns]]
+    shadow = black is not None and white is not None
+    if shadow:
+        imgs += [_gray_host(black, res), _gray_host(white, res)]
+    und = _undistort_stack(np.stack(imgs), K, dist, res)
+    return und, shadow
+
+
+def _decode_validity(und, *, nx, ny, white_thr, res2, black_thr, shadow):
+    """Traced decode + projector-range + shadow validity (the shared
+    front half of the jitted decode and cloud programs)."""
+    px, py, valid = decode_graycode(und[: 2 * (nx + ny)], nx=nx, ny=ny,
+                                    white_thr=white_thr)
+    w2, h2 = res2
+    valid = valid & (px < w2) & (py < h2)
+    if shadow:
+        # strict >, cv2 computeShadowMasks semantics (f32: a uint8
+        # difference would wrap where black > white; exact for 8-bit
+        # values and correct for float captures)
+        valid = valid & ((und[-1].astype(jnp.float32)
+                          - und[-2].astype(jnp.float32)) > black_thr)
+    return px, py, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "ny", "white_thr", "res2", "black_thr",
+                     "shadow"))
+def _decode_device(und, *, nx, ny, white_thr, res2, black_thr, shadow):
+    """Decode + validity as ONE jitted device program."""
+    return _decode_validity(und, nx=nx, ny=ny, white_thr=white_thr,
+                            res2=res2, black_thr=black_thr, shadow=shadow)
 
 
 @functools.partial(
