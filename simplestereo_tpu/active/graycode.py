@@ -185,17 +185,9 @@ def _graycode_cloud_device(und, K2, dist2, Rect1, Rect2, R_inv3, baseline,
     from ..geometry import projection as gproj
     from ..geometry import distortion as gdist
 
-    n_pat = 2 * (nx + ny)
-    px, py, valid = decode_graycode(und[:n_pat], nx=nx, ny=ny,
-                                    white_thr=white_thr)
-    w2, h2 = res2
-    valid = valid & (px < w2) & (py < h2)
-    if shadow:
-        # strict >, cv2 computeShadowMasks semantics (f32: a uint8
-        # difference would wrap where black > white; exact for 8-bit
-        # values and correct for float captures)
-        valid = valid & ((und[-1].astype(jnp.float32)
-                          - und[-2].astype(jnp.float32)) > black_thr)
+    px, py, valid = _decode_validity(und, nx=nx, ny=ny,
+                                     white_thr=white_thr, res2=res2,
+                                     black_thr=black_thr, shadow=shadow)
     H, W = px.shape
     if roi is not None:
         rx, ry, rw, rh = roi
@@ -273,27 +265,15 @@ class GrayCode:
 
         Returns (proj_x, proj_y, valid) numpy arrays (H, W).
         """
-        res1 = self.rig.res1
-        imgs = [_gray_host(i, res1) for i in images[: self.num_patterns]]
-        shadow = black is not None and white is not None
-        if shadow:
-            imgs += [_gray_host(black, res1), _gray_host(white, res1)]
-        und = _undistort_stack(np.stack(imgs), self.rig.intrinsic1,
-                               self.rig.distCoeffs1, res1)
-        px, py, valid = decode_graycode(
-            und[: self.num_patterns], nx=self.nx, ny=self.ny,
-            white_thr=self.white_thr)
-        px, py, valid = map(np.asarray, (px, py, valid))
-        w2, h2 = self.rig.res2
-        valid = valid & (px < w2) & (py < h2)
-        if shadow:
-            # strict >, cv2 computeShadowMasks semantics (f32: a uint8
-            # difference would wrap where black > white; exact for 8-bit
-            # values and correct for float captures)
-            lit = np.asarray(und[-1].astype(jnp.float32)
-                             - und[-2].astype(jnp.float32)) > self.black_thr
-            valid = valid & lit
-        return px, py, valid
+        rig = self.rig
+        und, shadow = _load_stack(images, black, white, rig.intrinsic1,
+                                  rig.distCoeffs1, rig.res1,
+                                  self.num_patterns)
+        px, py, valid = _decode_device(
+            und, nx=self.nx, ny=self.ny, white_thr=self.white_thr,
+            res2=tuple(rig.res2), black_thr=int(self.black_thr),
+            shadow=shadow)
+        return tuple(map(np.asarray, (px, py, valid)))
 
     def getCloud(self, images, roi=None, black=None, white=None,
                  out_dtype=None):
@@ -318,13 +298,9 @@ class GrayCode:
         from ..geometry.distortion import pad_dist_coeffs
 
         rig = self.rig
-        res1 = rig.res1
-        imgs = [_gray_host(i, res1) for i in images[: self.num_patterns]]
-        shadow = black is not None and white is not None
-        if shadow:
-            imgs += [_gray_host(black, res1), _gray_host(white, res1)]
-        und = _undistort_stack(np.stack(imgs), rig.intrinsic1,
-                               rig.distCoeffs1, res1)
+        und, shadow = _load_stack(images, black, white, rig.intrinsic1,
+                                  rig.distCoeffs1, rig.res1,
+                                  self.num_patterns)
         cloud, valid = _graycode_cloud_device(
             und, jnp.asarray(rig.intrinsic2, jnp.float32),
             jnp.asarray(pad_dist_coeffs(rig.distCoeffs2)),
@@ -373,25 +349,13 @@ class GrayCodeDouble:
         self.R_inv = R_inv
 
     def _decode_cam(self, images, K, dist, res, black=None, white=None):
-        imgs = [_gray_host(im, res)
-                for im in images[: self.num_patterns]]
-        shadow = black is not None and white is not None
-        if shadow:
-            imgs += [_gray_host(black, res), _gray_host(white, res)]
-        und = _undistort_stack(np.stack(imgs), K, dist, res)
-        px, py, valid = decode_graycode(
-            und[: self.num_patterns], nx=self.nx, ny=self.ny,
-            white_thr=self.white_thr)
-        px, py, valid = map(np.asarray, (px, py, valid))
-        valid = valid & (px < self.projRes[0]) & (py < self.projRes[1])
-        if shadow:
-            # strict >, cv2 computeShadowMasks semantics (f32: a uint8
-            # difference would wrap where black > white; exact for 8-bit
-            # values and correct for float captures)
-            lit = np.asarray(und[-1].astype(jnp.float32)
-                             - und[-2].astype(jnp.float32)) > self.black_thr
-            valid = valid & lit
-        return px, py, valid
+        und, shadow = _load_stack(images, black, white, K, dist, res,
+                                  self.num_patterns)
+        px, py, valid = _decode_device(
+            und, nx=self.nx, ny=self.ny, white_thr=self.white_thr,
+            res2=tuple(self.projRes), black_thr=int(self.black_thr),
+            shadow=shadow)
+        return tuple(map(np.asarray, (px, py, valid)))
 
     def getCloud(self, images1, images2, roi=None, black1=None, white1=None,
                  black2=None, white2=None):
