@@ -1,4 +1,4 @@
-"""Multi-host (multi-process) worker for the sharded matching pipeline.
+"""Multi-host (multi-process) worker for the sharded pipelines.
 
 The standard JAX multi-host recipe (SURVEY.md §2.3 / BASELINE.md): every
 process calls ``jax.distributed.initialize`` against a shared coordinator,
@@ -10,69 +10,66 @@ testable without a multi-host TPU slice (tests/test_multihost.py spawns
 TPU backend and no ``--xla_force_host_platform_device_count`` flag.
 
 Usage: python multihost_worker.py <process_id> <num_processes> <port>
-          [local_devices] [consistent]
+          [local_devices] [consistent] [path]
 
-Process 0 prints ``MULTIHOST-OK mismatch=<frac>`` on success.
+``path`` selects ONE collective path so a failure names the collective it
+belongs to (round-5, VERDICT r4 item 5):
+
+- ``asw``: row-tiled ASW matching (halo ppermute) + the psum reduction
+  pattern, checked against the single-device kernel;
+- ``sgm``: row-tiled SGM — the wavefront pipeline's scan carries cross
+  the process boundary (the DCN-analog leg of the ppermute chain);
+- ``gsw``: row-tiled GSW, Pallas engine (interpreter mode on CPU) under
+  shard_map, halo ppermutes crossing the process boundary;
+- ``ftp``: row-sharded FTP — distributed y-unwrap (boundary-row ppermute
+  + all_gather of per-shard column totals) and psum'd fringe order;
+- ``ba``: sharded Schur-complement bundle adjustment — psum'd intrinsic
+  normal equations reduce across the process boundary;
+- ``all``: every path in sequence (the pre-round-5 monolith, kept for
+  ad-hoc runs).
+
+Process 0 prints one ``MULTIHOST-OK path=<p> ...`` line per validated
+path.
 """
 
 import os
 import sys
 
+import numpy as np
 
-def main():
-    pid = int(sys.argv[1])
-    nproc = int(sys.argv[2])
-    port = sys.argv[3]
-    local = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    consistent = (sys.argv[5] == "1") if len(sys.argv) > 5 else False
 
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={local}"
-        ).strip()
+def _frame_pair(n_dev):
+    """Identical frame on every process (same seed) — the global array is
+    assembled from each process's addressable shards."""
+    rng = np.random.default_rng(0)
+    img1 = rng.integers(0, 256, (4 * n_dev, 40, 3), np.uint8)
+    img2 = np.roll(img1, -2, axis=1)
+    return img1, img2
 
+
+def _shard(img, mesh):
     import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=f"localhost:{port}",
-        num_processes=nproc, process_id=pid)
-
-    import numpy as np
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental import multihost_utils
 
+    sh = NamedSharding(mesh, P("rows"))
+    return jax.make_array_from_callback(img.shape, sh, lambda i: img[i])
+
+
+def run_asw(mesh, n_dev, consistent, check):
+    import jax
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from simplestereo_tpu import parallel
     from simplestereo_tpu.passive import asw_disparity
 
-    n_dev = len(jax.devices())
-    assert n_dev == local * nproc, (n_dev, local, nproc)
-    mesh = parallel.make_mesh({"rows": n_dev})
-
-    # Identical frame on every process (same seed) — the global array is
-    # assembled from each process's addressable shards.
-    rng = np.random.default_rng(0)
-    H = 4 * n_dev
-    img1 = rng.integers(0, 256, (H, 40, 3), np.uint8)
-    img2 = np.roll(img1, -2, axis=1)
-
-    sh = NamedSharding(mesh, P("rows"))
-    g1 = jax.make_array_from_callback(img1.shape, sh, lambda i: img1[i])
-    g2 = jax.make_array_from_callback(img2.shape, sh, lambda i: img2[i])
-
+    img1, img2 = _frame_pair(n_dev)
     tiled = parallel.tiled_asw_disparity(
-        g1, g2, mesh, win_size=5, max_disp=4, consistent=consistent)
+        _shard(img1, mesh), _shard(img2, mesh), mesh,
+        win_size=5, max_disp=4, consistent=consistent)
     out = np.asarray(multihost_utils.process_allgather(tiled, tiled=True))
 
-    # Tiled SGM: the wavefront pipeline's scan carries cross the process
-    # boundary (the DCN-analog leg of the ppermute chain).
-    sgm_tiled = parallel.tiled_sgm_disparity(g1, g2, mesh, num_disp=4)
-    sgm_out = np.asarray(
-        multihost_utils.process_allgather(sgm_tiled, tiled=True))
-
-    # Cross-host psum (the BA normal-equation reduction pattern).
+    # Cross-host psum (the BA normal-equation reduction pattern) rides
+    # along: it is the smallest possible DCN-analog collective check.
     s, c = np.asarray(parallel.psum_stats(
         jax.make_array_from_callback(
             (n_dev, 2), NamedSharding(mesh, P("rows")),
@@ -80,19 +77,61 @@ def main():
         mesh, ("rows",)))
     assert s == 2 * n_dev and c == 2 * n_dev, (s, c)
 
-    # Tiled GSW: Pallas engine (interpreter mode on CPU) under shard_map,
-    # halo ppermutes crossing the process boundary.
+    if check:
+        single = np.asarray(asw_disparity(
+            img1, img2, win_size=5, max_disp=4, consistent=consistent))
+        mismatch = float((single != out).mean())
+        assert mismatch <= 0.005, f"mismatch {mismatch:.2%}"
+        return f"mismatch={mismatch:.4f}"
+    return ""
+
+
+def run_sgm(mesh, n_dev, consistent, check):
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from simplestereo_tpu import parallel
+
+    img1, img2 = _frame_pair(n_dev)
+    sgm_tiled = parallel.tiled_sgm_disparity(
+        _shard(img1, mesh), _shard(img2, mesh), mesh, num_disp=4)
+    sgm_out = np.asarray(
+        multihost_utils.process_allgather(sgm_tiled, tiled=True))
+    if check:
+        from simplestereo_tpu.passive.sgm import _sgm_disparity
+        sgm_single = np.asarray(_sgm_disparity(
+            jnp.asarray(img1), jnp.asarray(img2), min_disp=0, num_disp=4,
+            block_size=3, P1=72, P2=288, paths=8, prefilter_cap=63.0,
+            uniqueness=10.0, disp12_max_diff=-1, subpixel=True,
+            aggregator="scan"))
+        assert (sgm_single == sgm_out).all(), "tiled SGM multihost mismatch"
+        return "sgm=bit-exact"
+    return ""
+
+
+def run_gsw(mesh, n_dev, consistent, check):
+    from jax.experimental import multihost_utils
+    from simplestereo_tpu import parallel
+
+    img1, img2 = _frame_pair(n_dev)
     gsw_tiled = parallel.tiled_gsw_disparity(
-        g1, g2, mesh, win_size=5, max_disp=4, gamma=10.0, f_max=60.0,
-        consistent=consistent, engine="pallas", interpret=True)
+        _shard(img1, mesh), _shard(img2, mesh), mesh, win_size=5,
+        max_disp=4, gamma=10.0, f_max=60.0, consistent=consistent,
+        engine="pallas", interpret=True)
     gsw_out = np.asarray(
         multihost_utils.process_allgather(gsw_tiled, tiled=True))
+    if check:
+        from simplestereo_tpu.passive.gsw import gsw_disparity
+        gsw_single = np.asarray(gsw_disparity(
+            img1, img2, win_size=5, max_disp=4, gamma=10.0, f_max=60.0,
+            consistent=consistent, engine="pallas", interpret=True))
+        assert (gsw_single == gsw_out).all(), "tiled GSW multihost mismatch"
+        return "gsw=bit-exact"
+    return ""
 
-    # Row-sharded FTP: distributed y-unwrap (boundary-row ppermute +
-    # all_gather of per-shard column totals) and psum'd fringe order
-    # cross the process boundary. Small synthetic plane scene, identical
-    # on every process.
-    from simplestereo_tpu import StereoRig, warp
+
+def run_ftp(mesh, n_dev, consistent, check):
+    import jax.numpy as jnp
+    from simplestereo_tpu import StereoRig, warp, parallel
     from simplestereo_tpu.active import buildFringe, StereoFTP
     from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
 
@@ -113,9 +152,17 @@ def main():
         interpolation="linear"))
     ftp = StereoFTP(ftp_rig, fringe, period)
     ftp_out = parallel.sharded_ftp_cloud(ftp, cam_img, mesh)
+    if check:
+        ftp_single = ftp.getCloud(cam_img)
+        both = np.isfinite(ftp_single[..., 2]) & np.isfinite(ftp_out[..., 2])
+        assert both.mean() > 0.9, both.mean()
+        dz = float(np.abs(ftp_single[..., 2] - ftp_out[..., 2])[both].max())
+        assert dz < 1e-2, f"sharded FTP multihost dz {dz}"
+        return f"ftp_dz={dz:.2e}"
+    return ""
 
-    # Sharded Schur-complement BA: the psum'd intrinsic normal equations
-    # reduce across the process boundary.
+
+def run_ba(mesh, n_dev, consistent, check):
     from simplestereo_tpu.calibration import ba
     from simplestereo_tpu.calibration.sharded import calibrate_camera_sharded
 
@@ -125,6 +172,7 @@ def main():
                     np.zeros(42)], 1)
     Kt = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1]])
     views = []
+    # One view per device; every process generates the same set.
     for _ in range(n_dev):
         rvec = rng_ba.normal(0, 0.2, 3)
         tvec = np.array([rng_ba.normal(-90, 20), rng_ba.normal(-75, 20),
@@ -141,35 +189,47 @@ def main():
     assert rms < 0.2, rms
     assert np.abs(Ke - Kt).max() < 5.0, Ke
     assert poses.shape == (n_dev, 6)
+    return f"ba_rms={rms:.4f}" if check else ""
 
-    if pid == 0:
-        single = np.asarray(asw_disparity(
-            img1, img2, win_size=5, max_disp=4, consistent=consistent))
-        mismatch = float((single != out).mean())
-        assert mismatch <= 0.005, f"mismatch {mismatch:.2%}"
-        from simplestereo_tpu.passive.sgm import _sgm_disparity
-        sgm_single = np.asarray(_sgm_disparity(
-            jnp.asarray(img1), jnp.asarray(img2), min_disp=0, num_disp=4,
-            block_size=3, P1=72, P2=288, paths=8, prefilter_cap=63.0,
-            uniqueness=10.0, disp12_max_diff=-1, subpixel=True,
-            aggregator="scan"))
-        assert (sgm_single == sgm_out).all(), "tiled SGM multihost mismatch"
 
-        from simplestereo_tpu.passive.gsw import gsw_disparity
-        gsw_single = np.asarray(gsw_disparity(
-            img1, img2, win_size=5, max_disp=4, gamma=10.0, f_max=60.0,
-            consistent=consistent, engine="pallas", interpret=True))
-        assert (gsw_single == gsw_out).all(), "tiled GSW multihost mismatch"
+PATHS = {"asw": run_asw, "sgm": run_sgm, "gsw": run_gsw, "ftp": run_ftp,
+         "ba": run_ba}
 
-        ftp_single = ftp.getCloud(cam_img)
-        both = np.isfinite(ftp_single[..., 2]) & np.isfinite(ftp_out[..., 2])
-        assert both.mean() > 0.9, both.mean()
-        dz = float(np.abs(ftp_single[..., 2] - ftp_out[..., 2])[both].max())
-        assert dz < 1e-2, f"sharded FTP multihost dz {dz}"
 
-        print(f"MULTIHOST-OK mismatch={mismatch:.4f} ftp_dz={dz:.2e} "
-              f"ba_rms={rms:.4f} devices={n_dev} "
-              f"processes={nproc}", flush=True)
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    local = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    consistent = (sys.argv[5] == "1") if len(sys.argv) > 5 else False
+    path = sys.argv[6] if len(sys.argv) > 6 else "all"
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={local}"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc, process_id=pid)
+
+    from jax.experimental import multihost_utils
+    from simplestereo_tpu import parallel
+
+    n_dev = len(jax.devices())
+    assert n_dev == local * nproc, (n_dev, local, nproc)
+    mesh = parallel.make_mesh({"rows": n_dev})
+
+    names = list(PATHS) if path == "all" else [path]
+    for name in names:
+        detail = PATHS[name](mesh, n_dev, consistent, check=(pid == 0))
+        if pid == 0:
+            print(f"MULTIHOST-OK path={name} {detail} devices={n_dev} "
+                  f"processes={nproc}", flush=True)
 
     multihost_utils.sync_global_devices("done")
 

@@ -282,3 +282,169 @@ class TestFFmpegSource:
         src.release()
         assert out is not None and out.shape == (24, 32, 3)
         np.testing.assert_array_equal(out, frames[0])
+
+
+# --------------------------------------------------------------------------
+# FFmpeg pipe path, end-to-end (round 5, VERDICT r4 item 6)
+# --------------------------------------------------------------------------
+# The ffmpeg-pipe branch is the one modern users hit first (.mp4/H.264 —
+# reference capability: cv2.VideoCapture's bundled ffmpeg, reference
+# utils.py:51-58). Two layers of coverage:
+#   * a STUB ffmpeg (stdlib-only executable emitting the real CLI
+#     contract: stderr "Video: ..., WxH" header, rawvideo bgr24 on
+#     stdout) exercises FFmpegSource's spawn / header parse / frame
+#     framing / EOF / loop / Capture routing on EVERY host, ffmpeg or
+#     not;
+#   * a REAL H.264 fixture (encoded at test time, gated on an ffmpeg
+#     binary with an H.264 encoder) proves the same path against an
+#     actual codec.
+
+_STUB_FFMPEG_PY = r'''
+import struct, sys
+args = sys.argv[1:]
+inp = args[args.index("-i") + 1]
+data = open(inp, "rb").read()
+n, h, w = struct.unpack("<III", data[:12])
+sys.stderr.write(
+    "Input #0, stub, from '%s':\n"
+    "  Stream #0:0: Video: rawvideo, bgr24, %dx%d, 20 fps\n"
+    % (inp, w, h))
+sys.stderr.flush()
+sys.stdout.buffer.write(data[12:])
+sys.stdout.buffer.flush()
+'''
+
+
+def _stub_ffmpeg(tmp_path, monkeypatch):
+    """Install a fake ``ffmpeg`` on PATH (shell shim -> current python)."""
+    import os
+    import stat
+    import sys as _sys
+
+    d = tmp_path / "stubbin"
+    d.mkdir(exist_ok=True)
+    (d / "ffmpeg_stub.py").write_text(_STUB_FFMPEG_PY)
+    sh = d / "ffmpeg"
+    sh.write_text(f'#!/bin/sh\nexec "{_sys.executable}" '
+                  f'"{d / "ffmpeg_stub.py"}" "$@"\n')
+    sh.chmod(sh.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP
+             | stat.S_IXOTH)
+    monkeypatch.setenv("PATH", f"{d}{os.pathsep}"
+                       + os.environ.get("PATH", ""))
+    return d
+
+
+def _stub_clip(tmp_path, frames, name="clip.mp4"):
+    """Write frames in the stub container (u32 N,H,W header + raw BGR)."""
+    import struct
+
+    n = len(frames)
+    h, w = frames[0].shape[:2]
+    p = tmp_path / name
+    with open(p, "wb") as f:
+        f.write(struct.pack("<III", n, h, w))
+        for fr in frames:
+            f.write(fr.tobytes())
+    return p
+
+
+class TestFFmpegPipeStub:
+    def test_source_frames_and_eof(self, tmp_path, monkeypatch, rng):
+        _stub_ffmpeg(tmp_path, monkeypatch)
+        frames = _frames(rng)
+        p = _stub_clip(tmp_path, frames)
+        src = videoio.FFmpegSource(str(p))
+        assert src.get_resolution() == (32, 24)
+        for f in frames:
+            np.testing.assert_array_equal(src.read(), f)
+        assert src.read() is None  # EOF, loop=False
+        src.release()
+
+    def test_loop_respawns(self, tmp_path, monkeypatch, rng):
+        _stub_ffmpeg(tmp_path, monkeypatch)
+        frames = _frames(rng, n=2)
+        p = _stub_clip(tmp_path, frames)
+        src = videoio.FFmpegSource(str(p), loop=True)
+        for f in frames + frames + frames[:1]:
+            np.testing.assert_array_equal(src.read(), f)
+        src.release()
+
+    def test_capture_routes_mp4_to_ffmpeg(self, tmp_path, monkeypatch, rng):
+        _stub_ffmpeg(tmp_path, monkeypatch)
+        frames = _frames(rng)
+        p = _stub_clip(tmp_path, frames)
+        with ss.utils.Capture(str(p)) as cap:
+            assert isinstance(cap._source, videoio.FFmpegSource)
+            assert cap.isFile
+            out = cap.get()
+        assert out is not None and out.shape == (24, 32, 3)
+        # frames may be skipped by the grab thread, never corrupted
+        assert any(np.array_equal(out, f) for f in frames)
+
+
+def _ffmpeg_h264_encoder():
+    """Name of an available H.264 encoder, or None."""
+    import subprocess
+
+    if not videoio.ffmpeg_available():
+        return None
+    try:
+        out = subprocess.run(
+            ["ffmpeg", "-hide_banner", "-encoders"],
+            capture_output=True, text=True, timeout=30).stdout
+    except Exception:
+        return None
+    for enc in ("libx264", "libopenh264", "h264_nvenc", "h264"):
+        import re
+        if re.search(rf"^\s*V[^ ]*\s+{enc}\b", out, re.M):
+            return enc
+    return None
+
+
+@pytest.mark.skipif(_ffmpeg_h264_encoder() is None,
+                    reason="no ffmpeg H.264 encoder on PATH")
+class TestH264EndToEnd:
+    def test_mp4_roundtrip_via_capture(self, tmp_path, rng):
+        """Encode a real H.264 mp4 at test time, read it back through
+        FFmpegSource/Capture, assert per-frame parity with the raw
+        source frames (lossy codec at max quality: mean error gate)."""
+        import subprocess
+
+        enc = _ffmpeg_h264_encoder()
+        # smooth gradient frames: codec error stays tiny and any frame
+        # mis-framing (stride/order bug) shows up as a huge error
+        h, w, n = 24, 32, 5
+        base = np.linspace(0, 200, w, dtype=np.float32)
+        frames = [np.clip(base[None, :, None] + 10 * i + np.arange(h)
+                          [:, None, None], 0, 255).astype(np.uint8)
+                  .repeat(3, axis=2).reshape(h, w, 3)
+                  for i in range(n)]
+        p = tmp_path / "h264.mp4"
+        cmd = ["ffmpeg", "-y", "-nostdin", "-f", "rawvideo",
+               "-pix_fmt", "bgr24", "-s", f"{w}x{h}", "-r", "20",
+               "-i", "-", "-c:v", enc]
+        if enc == "libx264":
+            cmd += ["-qp", "0", "-pix_fmt", "yuv444p"]
+        cmd += [str(p)]
+        proc = subprocess.run(cmd, input=b"".join(f.tobytes()
+                                                  for f in frames),
+                              capture_output=True, timeout=120)
+        assert proc.returncode == 0, proc.stderr[-500:]
+
+        src = videoio.FFmpegSource(str(p))
+        assert src.get_resolution() == (w, h)
+        got = []
+        while True:
+            fr = src.read()
+            if fr is None:
+                break
+            got.append(fr)
+        src.release()
+        assert len(got) == n
+        for f, g in zip(frames, got):
+            assert np.abs(g.astype(int) - f.astype(int)).mean() < 3.0
+
+        with ss.utils.Capture(str(p)) as cap:
+            assert isinstance(cap._source, videoio.FFmpegSource)
+            out = cap.get()
+        assert out is not None and out.shape == (h, w, 3)
