@@ -272,3 +272,69 @@ def test_auto_engine_off_tpu_is_xla(rng):
     b = np.asarray(gsw_disparity(img1, img2, engine="xla", win_size=5,
                                  max_disp=4))
     np.testing.assert_array_equal(a, b)
+
+
+# --------------------------------------------------------------------------
+# costMethod="auto": the SD/MI decision rule (round 5, VERDICT r4 item 7)
+# --------------------------------------------------------------------------
+
+class TestCostMethodAuto:
+    def test_probe_separates_matched_from_mismatched(self, tsukuba):
+        """The validated anchors: a real matched pair scores well under
+        the threshold; a gamma-0.5 right image scores far over it."""
+        from simplestereo_tpu.passive.gsw import (
+            MI_AUTO_THRESHOLD, radiometric_divergence)
+
+        left, right = tsukuba["left"], tsukuba["right"]
+        plain = radiometric_divergence(left, right)
+        assert plain < MI_AUTO_THRESHOLD / 2, plain
+        g05 = np.clip(255.0 * (right / 255.0) ** 0.5, 0, 255) \
+            .astype(np.uint8)
+        mm = radiometric_divergence(left, g05)
+        assert mm > 2 * MI_AUTO_THRESHOLD, mm
+
+    def test_resolve_passthrough_and_auto(self, tsukuba):
+        from simplestereo_tpu.passive.gsw import resolve_cost_method
+
+        left, right = tsukuba["left"], tsukuba["right"]
+        assert resolve_cost_method(left, right, "sd") == "sd"
+        assert resolve_cost_method(left, right, "mi") == "mi"
+        assert resolve_cost_method(left, right, "auto") == "sd"
+        g05 = np.clip(255.0 * (right / 255.0) ** 0.5, 0, 255) \
+            .astype(np.uint8)
+        assert resolve_cost_method(left, g05, "auto") == "mi"
+
+    def test_compute_auto_records_choice_and_runs(self, rng):
+        """End-to-end: auto resolves per pair, records lastCostMethod,
+        and the chosen pipeline actually recovers the shift."""
+        from simplestereo_tpu.passive import StereoGSW
+
+        img1 = rng.integers(0, 256, (16, 40, 3), np.uint8)
+        img2 = np.roll(img1, -2, axis=1)
+        m = StereoGSW(winSize=5, maxDisparity=4, gamma=10.0, fMax=60.0,
+                      costMethod="auto", bins=8, miIterations=2,
+                      consistent=True, engine="xla")
+        d = m.compute(img1, img2)
+        assert m.lastCostMethod == "sd"
+        assert (d[4:-4, 6:-6] == 2).mean() > 0.9
+
+        g05 = np.clip(255.0 * (img2 / 255.0) ** 0.5, 0, 255) \
+            .astype(np.uint8)
+        m.compute(img1, g05)
+        assert m.lastCostMethod == "mi"
+
+    def test_compute_batch_auto_resolves_once(self, rng):
+        from simplestereo_tpu.passive import StereoGSW
+
+        imgs1 = rng.integers(0, 256, (2, 12, 32, 3), np.uint8)
+        imgs2 = np.roll(imgs1, -2, axis=2)
+        m = StereoGSW(winSize=5, maxDisparity=4, costMethod="auto",
+                      bins=8, engine="xla")
+        m.computeBatch(imgs1, imgs2)
+        assert m.lastCostMethod == "sd"
+
+    def test_invalid_cost_method_rejected(self):
+        from simplestereo_tpu.passive import StereoGSW
+
+        with pytest.raises(ValueError, match="costMethod"):
+            StereoGSW(costMethod="nope")

@@ -387,3 +387,95 @@ def test_gsw_normalize_pallas_on_hardware(tpu_ok, rng):
     a = np.asarray(gsw_disparity(img1, img2, engine="xla", **kw))
     b = np.asarray(gsw_disparity(img1, img2, engine="pallas", **kw))
     assert (a != b).mean() <= 0.01, (a != b).mean()
+
+
+# --------------------------------------------------------------------------
+# Round 5 (VERDICT r4 item 4): the FTP variants and the phase-shift
+# pro-cam calibration run their own device code, and the
+# f32-matmul-precision bug class is invisible on CPU (CLAUDE.md — it was
+# caught on the base FTP path only by real-TPU e2e). One hardware e2e
+# each, with z-err / pose gates.
+# --------------------------------------------------------------------------
+
+def test_ftp_anaglyph_on_hardware(tpu_ok):
+    """StereoFTPAnaglyph (normalized B-R grayscale, reference
+    active.py:844-1128) recovers a known plane on the real chip."""
+    import jax.numpy as jnp
+    import simplestereo_tpu as ss
+    from simplestereo_tpu.active import StereoFTPAnaglyph, \
+        buildAnaglyphFringe
+    from simplestereo_tpu import warp
+    from simplestereo_tpu.geometry.npgeom import rodrigues_to_matrix
+
+    CAM = PROJ = (128, 96)
+    K = np.array([[140., 0, 63.5], [0, 140., 47.5], [0, 0, 1]])
+    R = rodrigues_to_matrix(np.array([0.0, -0.05, 0.0]))
+    T = np.array([[-40.], [1.0], [6.0]])
+    rig = ss.StereoRig(CAM, PROJ, K, K, None, None, R, T)
+    period, z0 = 16.0, 520.0
+    fringe = buildAnaglyphFringe(period, dims=PROJ)
+    w, h = CAM
+    xs, ys = np.meshgrid(np.arange(w) + 0.0, np.arange(h) + 0.0)
+    rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ np.linalg.inv(K).T
+    q = (z0 * rays @ R.T + T.ravel()) @ K.T
+    cam = np.asarray(warp.remap(
+        jnp.asarray(fringe), jnp.asarray(q[..., 0] / q[..., 2], np.float32),
+        jnp.asarray(q[..., 1] / q[..., 2], np.float32),
+        interpolation="linear"))
+    ftp = StereoFTPAnaglyph(rig, fringe, period, stripeColor="green")
+    cloud = ftp.getCloud(cam)
+    z = cloud[20:-20, 20:-20, 2]
+    z = z[np.isfinite(z)]
+    assert len(z) > 0.8 * (h - 40) * (w - 40)
+    assert abs(np.median(z) - z0) < 0.03 * z0
+
+
+def test_ftp_mapping_on_hardware(tpu_ok):
+    """StereoFTP_Mapping (classic FTP, no virtual reference — reference
+    active.py:1266-1450) on the real chip; its own absolute-phase +
+    projector-x math must inherit the HIGHEST-precision pins."""
+    from simplestereo_tpu.active import StereoFTP_Mapping
+
+    rig, _, cam, z0 = _tiny_ftp_scene()
+    from simplestereo_tpu.active import buildFringe
+    fringe = buildFringe(16.0, dims=(128, 96), stripeColor="green")
+    ftp = StereoFTP_Mapping(rig, fringe, 16.0, stripeColor="green")
+    cloud = ftp.getCloud(cam)
+    z = cloud[30:-30, 30:-30, 2]
+    z = z[np.isfinite(z)]
+    assert len(z) > 0
+    # classic FTP (no virtual reference) is cruder; accept 10% (same
+    # gate as the CPU e2e)
+    assert abs(np.median(z) - z0) < 0.1 * z0
+
+
+def test_ftp_phase_only_on_hardware(tpu_ok):
+    """StereoFTP_PhaseOnly (reference active.py:1703-2074): phase maps
+    on the real chip — object == reference plane gives ~constant
+    difference phase."""
+    from simplestereo_tpu.active import StereoFTP_PhaseOnly
+
+    rig, _, cam, z0 = _tiny_ftp_scene()
+    from simplestereo_tpu.active import buildFringe
+    fringe = buildFringe(16.0, dims=(128, 96), stripeColor="green")
+    ftp = StereoFTP_PhaseOnly(rig, fringe, 16.0, stripeColor="green")
+    phase = ftp.getPhase(cam)
+    assert phase.shape == (96, 128)
+    inner = phase[20:-20, 20:-20]
+    assert np.isfinite(inner).mean() > 0.9
+    assert np.nanstd(inner) < 0.5
+
+
+def test_phaseshift_procam_on_hardware(tpu_ok):
+    """phaseShift camera-projector calibration (reference
+    calibration.py:617-782) end-to-end on the real chip: synthetic
+    4-step captures, heterodyne unwrap, chessboard detection and the LM
+    bundle adjustment must recover the ground-truth projector pose."""
+    import test_procam as tp
+
+    periods = [[256.0, 32.0], [192.0, 24.0]]
+    from simplestereo_tpu.calibration.procam import phaseShift
+
+    rig = phaseShift(periods, tp.PROJ_RES, tp._phaseshift_sets(periods),
+                     chessboardSize=tp.CB, squareSize=tp.SQ)
+    tp._check_rig(rig)
