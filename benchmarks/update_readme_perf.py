@@ -1,29 +1,52 @@
 """Regenerate README's bench-derived performance rows from the latest
-BENCH_r*.json artifact so the table cannot drift from measured numbers
-(single source of perf truth).
+bench artifact so the table cannot drift from measured numbers (single
+source of perf truth).
+
+Round 5+: bench.py prints a COMPACT line (the driver's BENCH_r*.json
+``parsed``) and writes the full payload to benchmarks/BENCH_full_r*.json
+— this script prefers the full sidecar (it carries every throughput/
+quality key), falling back to a driver artifact with a parsed full
+payload (rounds <= 4 format).
 
 Rows between the PERF:BENCH markers are rewritten from the artifact;
 rows outside them are one-off measurements annotated with their source
-script. Usage: python benchmarks/update_readme_perf.py [BENCH_rNN.json]
+script. Usage: python benchmarks/update_readme_perf.py [artifact.json]
 """
 
 import glob
 import json
+import os
 import re
 import sys
 
 
+def _round_no(path):
+    m = re.search(r"BENCH(?:_full)?_r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
 def latest_artifact():
-    files = sorted(glob.glob("BENCH_r*.json"))
-    if not files:
-        raise SystemExit("no BENCH_r*.json artifact found")
-    return files[-1]
+    """Newest usable artifact by ROUND NUMBER (not lexicographic — r9
+    must not outrank r10): full sidecars first, then old-format driver
+    artifacts whose parsed payload carries the throughput keys."""
+    for f in sorted(glob.glob("benchmarks/BENCH_full_r*.json")
+                    + glob.glob("BENCH_r*.json"),
+                    key=_round_no, reverse=True):
+        try:
+            d = json.load(open(f))
+        except Exception:
+            continue
+        if "BENCH_full" in os.path.basename(f):
+            return f
+        if d.get("parsed") and "sgm_mpixdisp_per_s" in d["parsed"]:
+            return f
+    raise SystemExit("no usable bench artifact found")
 
 
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else latest_artifact()
     data = json.load(open(path))
-    p = data["parsed"]
+    p = data if "BENCH_full" in os.path.basename(path) else data["parsed"]
 
     v = p["value"]
     ratio = p["vs_baseline"]
@@ -80,6 +103,17 @@ def main():
                      "at this frame size; see `sgm_pallas.py`)")
         rows.append(("SGM dense disparity, Tsukuba, 16 candidates",
                      cell, "delegated to OpenCV (`cv2.StereoSGBM`)"))
+    if "asw_720p_mpixdisp_per_s" in p:
+        cell = (f"**{p['asw_720p_ms']:.0f} ms** "
+                f"({p['asw_720p_mpixdisp_per_s']:.0f} Mpix·disp/s) — "
+                "driver-captured every round since r5")
+        if "sgm_720p_mpixdisp_per_s" in p:
+            cell += (f"; SGM D=128 Pallas **{p['sgm_720p_ms']:.0f} ms** "
+                     f"({p['sgm_720p_mpixdisp_per_s']:.0f} Mpix·disp/s)")
+        rows.append(("720p (1280×720 lawn pair) ASW win 35, 11 candidates, "
+                     "consistent", cell,
+                     '"EXTREMELY SLOW on larger images" — the example '
+                     "downscales 720p by 4× first (examples/009:31-34)"))
     if "gsw_mpixdisp_per_s" in p:
         g1 = p["gsw_mpixdisp_per_s"]
         cell = f"**{g1:.1f} Mpix·disp/s** single-frame (Pallas kernel)"

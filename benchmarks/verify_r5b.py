@@ -1,0 +1,106 @@
+"""Round-5 verification driver B (real TPU, real data).
+
+ROI + f16 at the reference's real 1080p FTP rig (VERDICT r4 item 8).
+Round 4 measured the res/stereoFTP 1920x1080 frame at ~1.51 s, of which
+the ~25 MB f32 dense-cloud readback alone is ~1.0 s — so the two
+`getCloud` levers that shrink the readback are measured head-to-head at
+that rig:
+
+- ``out_dtype=np.float16``: halves every transferred byte;
+- ``roi=...``: transfers only the scanned object's rectangle (a real
+  scan always has one — example 103 computes it with ``computeROI``;
+  here the central 60% x 60% of the frame, i.e. 36% of the pixels);
+- both combined.
+
+Each configuration: varying-input plane captures, full readback, median
+of 4 + IQR, plus plane-z accuracy so the cheap paths are shown to stay
+correct. Prints one JSON line; SCALING.md's batch-vs-f16-vs-roi sizing
+rule cites it.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _plane_capture(rig, fringe, z0, roll=0):
+    import jax.numpy as jnp
+    from simplestereo_tpu import warp
+
+    K1 = np.asarray(rig.intrinsic1, float)
+    K2 = np.asarray(rig.intrinsic2, float)
+    R = np.asarray(rig.R, float)
+    T = np.asarray(rig.T, float).ravel()
+    w, h = rig.res1
+    xs, ys = np.meshgrid(np.arange(w, dtype=float),
+                         np.arange(h, dtype=float))
+    rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ np.linalg.inv(K1).T
+    q = (z0 * rays @ R.T + T) @ K2.T
+    cap = np.asarray(warp.remap(
+        jnp.asarray(fringe),
+        jnp.asarray(q[..., 0] / q[..., 2], jnp.float32),
+        jnp.asarray(q[..., 1] / q[..., 2], jnp.float32),
+        interpolation="linear"))
+    return np.roll(cap, roll, axis=0) if roll else cap
+
+
+def main():
+    import jax
+
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
+
+    import simplestereo_tpu as ss
+    from simplestereo_tpu.imgio import imread
+
+    res = "/root/reference/examples/res/stereoFTP/"
+    rig = ss.StereoRig.fromFile(res + "stereoRig.json")
+    fringe = imread(res + "fringe8.png")
+    ftp = ss.active.StereoFTP(rig, fringe, period=8)
+    w, h = rig.res1
+    z0 = 1500.0
+    roi = (w // 5, h // 5, 3 * w // 5, 3 * h // 5)  # 36% of the pixels
+
+    # ±2-gray sensor noise makes every timed input distinct (the tunnel
+    # caches repeated (program, input) pairs; input[0] is warm-only)
+    rng = np.random.default_rng(0)
+    base = _plane_capture(rig, fringe, z0)
+    caps = [np.clip(base.astype(np.int16)
+                    + rng.integers(-2, 3, base.shape), 0, 255)
+            .astype(np.uint8) for _ in range(5)]
+
+    out = {"rig_res": [w, h], "roi": list(roi)}
+
+    def timeit(tag, fn, zgate=0.01):
+        t0 = time.perf_counter()
+        c0 = fn(caps[0])  # compile + warm (never timed)
+        out[f"{tag}_first_call_s"] = round(time.perf_counter() - t0, 1)
+        ts = []
+        for cm in caps[1:]:
+            t0 = time.perf_counter()
+            np.asarray(fn(cm))
+            ts.append(time.perf_counter() - t0)
+        q1, q3 = np.percentile(ts, [25, 75])
+        out[f"{tag}_ms"] = round(float(np.median(ts)) * 1e3, 1)
+        out[f"{tag}_iqr_ms"] = round(float(q3 - q1) * 1e3, 1)
+        out[f"{tag}_rd_mb"] = round(np.asarray(c0).nbytes / 1e6, 1)
+        cz = np.asarray(c0[..., 2], np.float64)
+        ch, cw = cz.shape[:2]
+        cz = cz[ch // 4: -ch // 4, cw // 4: -cw // 4]
+        cz = cz[np.isfinite(cz)]
+        zerr = abs(float(np.median(cz)) - z0) / z0
+        out[f"{tag}_zerr_pct"] = round(zerr * 100, 3)
+        assert zerr < zgate, (tag, zerr)
+
+    timeit("full_f64", lambda cm: ftp.getCloud(cm))
+    timeit("full_f16", lambda cm: ftp.getCloud(cm, out_dtype=np.float16))
+    timeit("roi_f64", lambda cm: ftp.getCloud(cm, roi=roi))
+    timeit("roi_f16", lambda cm: ftp.getCloud(cm, roi=roi,
+                                              out_dtype=np.float16))
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

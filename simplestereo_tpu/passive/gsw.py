@@ -280,6 +280,54 @@ def _gsw_mi_step(w, q1, q2, disp_prev, *, win_size, min_disp, max_disp,
     return jnp.where(xs < min_disp, xs, disp)
 
 
+#: EMD threshold (gray levels) above which ``cost_method="auto"`` picks
+#: MI. Validated on Tsukuba (see the decision table in
+#: :func:`gsw_disparity`): matched pairs measure <= ~2.1, the SD/MI
+#: quality ranking flips between EMD 4.3 (SD 8.9% vs MI 9.6% bad-2.0)
+#: and 6.3 (SD 13.1% vs MI 10.4%).
+MI_AUTO_THRESHOLD = 5.0
+
+
+def radiometric_divergence(img1, img2, bins=64):
+    """Radiometric mismatch probe: 1-D earth-mover's distance between the
+    two images' grayscale histograms, in gray levels (0-255 scale).
+
+    Host-side and cheap (two 64-bin histograms); drives
+    ``cost_method="auto"``. Rationale: a rectified stereo pair of the
+    same scene has near-identical intensity *distributions* (the
+    viewpoint shift barely moves the histogram), so a large histogram
+    transport distance can only come from a radiometric transform
+    (exposure/gain/gamma mismatch between the cameras) — exactly the
+    regime where the SD cost collapses and MI wins. Measured anchors
+    (Tsukuba pair; lawn = the 1280x720 res/2 pair): matched pairs score
+    0.5 (Tsukuba) / 2.1 (lawn); right-image transforms score +2 gray ->
+    2.4, +8 gray -> 8.3, contrast x0.85 -> 10.0, gamma 0.8 -> 15.9,
+    gamma 0.5 -> 52.6. Quality consequences per level: the decision
+    table in :func:`gsw_disparity`.
+    """
+    a = np.asarray(img1, np.float64)
+    b = np.asarray(img2, np.float64)
+    if a.ndim == 3:
+        a = a.mean(-1)
+    if b.ndim == 3:
+        b = b.mean(-1)
+    ha, _ = np.histogram(a, bins=bins, range=(0, 255))
+    hb, _ = np.histogram(b, bins=bins, range=(0, 255))
+    pa = ha / max(ha.sum(), 1)
+    pb = hb / max(hb.sum(), 1)
+    return float(np.abs(np.cumsum(pa - pb)).sum() * (255.0 / bins))
+
+
+def resolve_cost_method(img1, img2, cost_method,
+                        threshold=MI_AUTO_THRESHOLD):
+    """Resolve ``cost_method="auto"`` to "sd" or "mi" via the
+    radiometric-divergence probe; passes "sd"/"mi" through unchanged."""
+    if cost_method != "auto":
+        return cost_method
+    return ("mi" if radiometric_divergence(img1, img2) > threshold
+            else "sd")
+
+
 def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
                   gamma=10.0, f_max=120.0, iterations=3,
                   consistent=False, cost_method="sd", bins=20,
@@ -295,6 +343,27 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
     enough signal to bootstrap the joint histogram — an SD init can lock
     in a wrong self-consistent matching under radiometric distortion)
     and refined ``mi_iterations`` times from the evolving matching.
+    "auto" resolves per pair via :func:`radiometric_divergence` (EMD >
+    :data:`MI_AUTO_THRESHOLD` gray levels -> MI): MI's robustness is not
+    free — on matched radiometry it is both slower (22.6 vs 31
+    Mpix·disp/s on the kernel, round-4 bench) and worse (its cost is a
+    histogram statistic, blunter than the color distance) — so pay its
+    tax only when SD is actually broken. Decision table (Tsukuba,
+    win=23, D=11, gamma=12.5, consistent; EMD = probe value; measured
+    round 5, threshold set between the 4.3 and 6.3 rows):
+
+    ======================= ===== ========== ========== ======
+    right-image transform    EMD  SD bad-2.0 MI bad-2.0 winner
+    ======================= ===== ========== ========== ======
+    none                      0.5     2.4%       7.1%     SD
+    +2 gray brightness        2.4     3.7%       8.0%     SD
+    +4 gray brightness        4.3     8.9%       9.6%     SD
+    +6 gray brightness        6.3    13.1%      10.4%     MI
+    +8 gray brightness        8.3    21.9%       9.4%     MI
+    contrast x0.85           10.0    38.9%      10.7%     MI
+    gamma 0.8                15.9    56.0%       8.2%     MI
+    gamma 0.5                52.6    62.1%       7.9%     MI
+    ======================= ===== ========== ========== ======
 
     normalize (beyond-reference): divide each window cost by the summed
     weight of its valid pixels (ASW-style weighted mean) instead of the
@@ -315,6 +384,9 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
         raise ValueError("engine must be 'auto', 'pallas' or 'xla'!")
     if step < 1:
         raise ValueError("step must be >= 1!")
+    # the probe is host-side numpy; device-resident inputs pay one
+    # frame readback here (auto only)
+    cost_method = resolve_cost_method(img1, img2, cost_method)
     if step > 1 and cost_method == "mi":
         raise ValueError("step > 1 requires cost_method='sd'!")
     if cost_method == "mi" and mi_iterations < 1:
@@ -387,8 +459,13 @@ class StereoGSW:
     Beyond the reference: ``costMethod="mi"`` activates the per-pixel
     mutual-information matching cost the reference left as a TODO
     (radiometrically robust — matches across nonlinear intensity
-    transforms), and ``consistent=True`` adds the left-right check +
-    occlusion fill the reference also listed as missing for GSW.
+    transforms), ``costMethod="auto"`` picks SD/MI per pair via the
+    radiometric-divergence probe (see the decision table in
+    :func:`gsw_disparity`; the resolved choice of the last
+    :meth:`compute`/:meth:`computeBatch` call is recorded in
+    ``self.lastCostMethod``), and ``consistent=True`` adds the
+    left-right check + occlusion fill the reference also listed as
+    missing for GSW.
 
     .. note::
         Like the reference's version, this matcher is provided for
@@ -401,8 +478,8 @@ class StereoGSW:
                  normalize=False, engine="auto", step=1):
         if winSize <= 0 or winSize % 2 == 0:
             raise ValueError("winSize must be a positive odd number!")
-        if costMethod not in ("sd", "mi"):
-            raise ValueError("costMethod must be 'sd' or 'mi'!")
+        if costMethod not in ("sd", "mi", "auto"):
+            raise ValueError("costMethod must be 'sd', 'mi' or 'auto'!")
         if engine not in ("auto", "pallas", "xla"):
             raise ValueError("engine must be 'auto', 'pallas' or 'xla'!")
         self.winSize = winSize
@@ -418,6 +495,7 @@ class StereoGSW:
         self.normalize = normalize  # ASW-style weighted-mean cost
         self.engine = engine  # Pallas kernel vs fused-XLA path selection
         self.step = step  # window-offset lattice stride (ASW-style)
+        self.lastCostMethod = None  # resolved choice of the last compute
 
     def compute(self, img1, img2):
         img1 = np.ascontiguousarray(img1)
@@ -425,12 +503,14 @@ class StereoGSW:
         if img1.ndim != 3 or img1.shape[2] != 3 or img1.shape != img2.shape:
             raise ValueError(
                 "Images must be 3-channel BGR with identical shapes!")
+        self.lastCostMethod = resolve_cost_method(img1, img2,
+                                                  self.costMethod)
         return np.asarray(gsw_disparity(
             img1, img2, win_size=self.winSize,
             max_disp=self.maxDisparity, min_disp=self.minDisparity,
             gamma=float(self.gamma), f_max=float(self.fMax),
             iterations=self.iterations, consistent=self.consistent,
-            cost_method=self.costMethod, bins=self.bins,
+            cost_method=self.lastCostMethod, bins=self.bins,
             mi_iterations=self.miIterations, normalize=self.normalize,
             engine=self.engine, step=self.step))
 
@@ -451,12 +531,16 @@ class StereoGSW:
                 or imgs1.shape != imgs2.shape:
             raise ValueError(
                 "Batches must be (B, H, W, 3) BGR with identical shapes!")
-        pallas_able = self.costMethod == "sd" or self.step == 1
+        # auto: one probe over the whole batch (a capture batch shares
+        # its cameras, hence its radiometry)
+        cost_method = resolve_cost_method(imgs1, imgs2, self.costMethod)
+        self.lastCostMethod = cost_method
+        pallas_able = cost_method == "sd" or self.step == 1
         if pallas_able and (self.engine == "pallas" or (
                 self.engine == "auto" and jax.default_backend() == "tpu")):
             # A vmapped pallas_call cannot lower on real TPU: the batch
             # rides the kernel's leading grid axis instead (one launch).
-            if self.costMethod == "mi":
+            if cost_method == "mi":
                 from .gsw_pallas import gsw_mi_disparity_pallas_batch
                 return np.asarray(gsw_mi_disparity_pallas_batch(
                     imgs1, imgs2, win_size=self.winSize,
@@ -476,7 +560,7 @@ class StereoGSW:
             max_disp=self.maxDisparity, min_disp=self.minDisparity,
             gamma=float(self.gamma), f_max=float(self.fMax),
             iterations=self.iterations, consistent=self.consistent,
-            cost_method=self.costMethod, bins=self.bins,
+            cost_method=cost_method, bins=self.bins,
             mi_iterations=self.miIterations, normalize=self.normalize,
             step=self.step)
         return np.asarray(jax.vmap(fn)(jnp.asarray(imgs1),

@@ -373,10 +373,15 @@ class TestFFmpegPipeStub:
         _stub_ffmpeg(tmp_path, monkeypatch)
         frames = _frames(rng)
         p = _stub_clip(tmp_path, frames)
+        import time
+
         with ss.utils.Capture(str(p)) as cap:
             assert isinstance(cap._source, videoio.FFmpegSource)
             assert cap.isFile
-            out = cap.get()
+            out = None
+            deadline = time.time() + 10.0  # grab thread needs a moment
+            while out is None and time.time() < deadline:
+                out = cap.get()
         assert out is not None and out.shape == (24, 32, 3)
         # frames may be skipped by the grab thread, never corrupted
         assert any(np.array_equal(out, f) for f in frames)
