@@ -48,16 +48,22 @@ import time
 import numpy as np
 
 
-def _slope(run, ks=(1, 2)):
-    """Marginal seconds per unit k: fit t(k) over the given ks (each run
-    fresh-input, full readback of a small result)."""
-    ts = []
+def _slope(run, ks=(1, 5), reps=3):
+    """Marginal seconds per unit k: median-of-reps timings at a small
+    and a large k (each run fresh-input, full readback of a small
+    result); the difference cancels dispatch latency, which through
+    this environment's tunnel is 20-45 ms and noisy — ks must be far
+    enough apart that the work difference dominates it."""
+    med = {}
     for k in ks:
         run(k)  # warm/compile for this k
-        t0 = time.perf_counter()
-        run(k)
-        ts.append(time.perf_counter() - t0)
-    return (ts[-1] - ts[0]) / (ks[-1] - ks[0])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(k)
+            ts.append(time.perf_counter() - t0)
+        med[k] = float(np.median(ts))
+    return (med[ks[-1]] - med[ks[0]]) / (ks[-1] - ks[0])
 
 
 def main():
@@ -69,22 +75,27 @@ def main():
     out = {}
 
     # ---- 1a. VPU f32 FMA rate -------------------------------------------
-    # 4 cross-fed FMA chains per element (ILP to fill the pipeline; the
-    # cross-feed prevents any algebraic collapse across iterations).
-    N = 512 * 1024  # 2 MB f32, VMEM-resident
-    FL_PER_ITER = 8 * N  # 4 FMAs x 2 FLOPs per element per iteration
+    # A depth-32 in-register FMA chain per element per iteration: XLA
+    # fuses the body into ONE pass over the array (load, 16 FMAs,
+    # store), so VMEM traffic is 8 B per 32 FLOPs and the ALUs bind.
+    # (Variants that moved the array once per FMA measured 0.8-1.25
+    # TFLOP/s — VMEM-bandwidth-bound at ~3-4 TB/s, not the ALU rate.
+    # Element-to-element the chain pipelines, so in-element dependency
+    # depth costs nothing.)
+    N = 1024 * 1024  # 4 MB f32, VMEM-resident
+    DEPTH = 32
+    FL_PER_ITER = 2 * DEPTH * N
 
     @partial(jax.jit, static_argnames=("k",))
     def vpu_prog(x, k):
-        def body(_, c):
-            x1, x2, x3, x4 = c
-            x1 = x1 * 1.000001 + 0.1
-            x2 = x2 * 0.999999 + x1
-            x3 = x3 * 1.000002 + x2
-            x4 = x4 * 0.999998 + x3
-            return (x1, x2, x3, x4)
-        r = jax.lax.fori_loop(0, k, body, (x, x + 1, x + 2, x + 3))
-        return (r[0][:8] + r[1][:8] + r[2][:8] + r[3][:8]).sum()
+        consts = [(1.0 + 1e-6 * (i + 1), 1e-3 * (i + 1))
+                  for i in range(DEPTH)]
+
+        def body(_, v):
+            for a, b in consts:
+                v = v * a + b
+            return v
+        return jax.lax.fori_loop(0, k, body, x)[:8].sum()
 
     xs = [jnp.asarray(np.random.default_rng(i).random(N, np.float32))
           for i in range(8)]
@@ -99,9 +110,11 @@ def main():
     out["vpu_f32_tflops"] = round(FL_PER_ITER * 4096 / s / 1e12, 2)
 
     # ---- 1b. HBM streaming bandwidth ------------------------------------
-    # x = x + 1 over a 64 MB array: one full HBM read + write per
-    # iteration (the fori body compiles once — no cross-iteration fusion).
-    M = 16 * 1024 * 1024  # 64 MB f32
+    # x = x + 1 over a 512 MB array — 4x any VMEM, so every iteration
+    # streams the full array from HBM and back (a 64 MB variant measured
+    # 4.2 TB/s: VMEM-resident, not HBM). The fori body compiles once —
+    # no cross-iteration fusion.
+    M = 128 * 1024 * 1024  # 512 MB f32
     BYTES_PER_ITER = 2 * 4 * M
 
     @partial(jax.jit, static_argnames=("k",))
@@ -111,16 +124,16 @@ def main():
         return jax.lax.fori_loop(0, k, body, x)[:8].sum()
 
     hs = [jnp.asarray(np.random.default_rng(10 + i).random(M, np.float32))
-          for i in range(4)]
+          for i in range(2)]
     for a in hs:
         a.block_until_ready()
-    hit = iter(np.random.permutation(len(hs)).tolist() * 16)
+    hit = iter(np.random.permutation(len(hs)).tolist() * 32)
 
     def hbm_run(k):
-        np.asarray(hbm_prog(hs[next(hit)], k * 64))
+        np.asarray(hbm_prog(hs[next(hit)], k * 16))
 
     s = _slope(hbm_run)
-    out["hbm_gbps"] = round(BYTES_PER_ITER * 64 / s / 1e9, 1)
+    out["hbm_gbps"] = round(BYTES_PER_ITER * 16 / s / 1e9, 1)
 
     # ---- 1c. MXU bf16 matmul rate ---------------------------------------
     K_DIM = 2048
