@@ -36,8 +36,9 @@ from .. import rectification
 from .. import unwrapping
 
 
-@functools.partial(jax.jit, static_argnames=("res",))
-def _projector_mapping_device(z, M, T, K2, dist2, fringe_gray, res):
+@functools.partial(jax.jit, static_argnames=("res", "row_inv"))
+def _projector_mapping_device(z, M, T, K2, dist2, fringe_gray, res,
+                              row_inv=False):
     """Dense camera-grid -> projector mapping + virtual reference image.
 
     Implements the reference's double-grid trick (active.py:432-492): the
@@ -71,7 +72,19 @@ def _projector_mapping_device(z, M, T, K2, dist2, fringe_gray, res):
     proj_coords = jnp.stack([uc, vc], axis=-1)
     # integer grid -> virtual reference image resampling map
     ui, vi = project(gx, gy)
-    virtual_ref = warp.remap(fringe_gray, ui, vi, interpolation="cubic")
+    if row_inv:
+        # Fringe rows are identical (checked host-side at init —
+        # buildFringe patterns and the reference's committed fringe8.png
+        # both are): sample ONE padded row with 4 cubic taps instead of
+        # the 16-tap 2-D gather, which was ~50 ms of the fused
+        # program's ~51 ms device time at 640x480
+        # (benchmarks/ftp_stage_slope.py). Identical semantics incl.
+        # y-border blending — warp.remap_row_invariant.
+        virtual_ref = warp.remap_row_invariant(fringe_gray, ui, vi,
+                                               interpolation="cubic")
+    else:
+        virtual_ref = warp.remap(fringe_gray, ui, vi,
+                                 interpolation="cubic")
     return proj_coords, virtual_ref
 
 
@@ -208,11 +221,11 @@ def _dense_cloud_device(projCoords, phaseUnwrapped, k, ep, fp, K2, dist2,
 
 @functools.partial(jax.jit,
                    static_argnames=("res", "roi", "gray_mode", "debug",
-                                    "out_dtype"))
+                                    "out_dtype", "row_inv"))
 def _ftp_cloud_fused(img_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
                      stripe_idx, peak, fp, ep, Rect1, Rect2, R_inv3,
                      baseline, *, res, roi, gray_mode, debug=False,
-                     out_dtype=None):
+                     out_dtype=None, row_inv=False):
     """The whole post-stripe FTP pipeline as ONE device program:
     grayscale conversion, projector mapping + virtual reference, row-FFT
     band-pass phase, 2-D unwrap, fringe-order k from the stripe, dense
@@ -230,7 +243,7 @@ def _ftp_cloud_fused(img_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
         gray_obj = jnp.max(img_obj, axis=2).astype(jnp.float32)
     # nested jitted calls inline into this trace — still one dispatch
     proj_coords, virtual_ref = _projector_mapping_device(
-        z, M, T, K2, dist2, fringe_gray, res=res)
+        z, M, T, K2, dist2, fringe_gray, res=res, row_inv=row_inv)
     proj_coords = proj_coords[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
     virtual_ref = virtual_ref[roi_y:roi_y + roi_h, roi_x:roi_x + roi_w]
 
@@ -267,11 +280,12 @@ def _ftp_cloud_fused(img_obj, z, M, T, K2, dist2, fringe_gray, fmin, fmax,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("res", "roi", "gray_mode", "out_dtype"))
+                   static_argnames=("res", "roi", "gray_mode", "out_dtype",
+                                    "row_inv"))
 def _ftp_cloud_fused_batch(imgs, zs, M, T, K2, dist2, fringe_gray, fmins,
                            fmaxs, stripe_idxs, peak, fp, ep, Rect1, Rect2,
                            R_inv3, baseline, *, res, roi, gray_mode,
-                           out_dtype=None):
+                           out_dtype=None, row_inv=False):
     """Frame-batched :func:`_ftp_cloud_fused`: the dense work of the
     whole (B, ...) stack is ONE device program. The FTP pipeline is pure
     XLA (FFTs, gathers, scans — no Pallas), so ``vmap`` is the correct
@@ -283,7 +297,8 @@ def _ftp_cloud_fused_batch(imgs, zs, M, T, K2, dist2, fringe_gray, fmins,
         return _ftp_cloud_fused(
             im, z, M, T, K2, dist2, fringe_gray, fmn, fmx, sidx, peak,
             fp, ep, Rect1, Rect2, R_inv3, baseline, res=res, roi=roi,
-            gray_mode=gray_mode, debug=False, out_dtype=out_dtype)
+            gray_mode=gray_mode, debug=False, out_dtype=out_dtype,
+            row_inv=row_inv)
 
     return jax.vmap(one)(imgs, zs, fmins, fmaxs, stripe_idxs)
 
@@ -329,6 +344,15 @@ class StereoFTP:
         else:
             self.fringe = self.convertGrayscale(fringe)
         self.fringeDims = fringe.shape[:2][::-1]
+        # Row-invariant fringe (every grayscale row identical — true for
+        # buildFringe patterns and the reference's committed fringe8.png)
+        # unlocks the 1-D virtual-reference resample fast path in the
+        # fused pipeline (warp.remap_row_invariant: the 16-tap 2-D cubic
+        # gather was ~50 of the fused program's ~51 ms at 640x480).
+        fg = np.asarray(self.fringe)
+        self._fringe_row_inv = bool(
+            fg.ndim == 2 and np.array_equal(
+                fg, np.broadcast_to(fg[0:1], fg.shape)))
         self.fp = 1.0 / period
         self.stripeColor = stripeColor
         self.stripeSensitivity = stripeSensitivity
@@ -410,7 +434,7 @@ class StereoFTP:
             jnp.asarray(rig.intrinsic2, jnp.float32),
             jnp.asarray(pad_dist_coeffs(rig.distCoeffs2)),
             jnp.asarray(self.fringe, jnp.float32),
-            res=tuple(rig.res1))
+            res=tuple(rig.res1), row_inv=self._fringe_row_inv)
         return proj_coords, virtual_ref  # device-resident (h, w, 2)/(h, w)
 
     def _calculateCameraFrequency(self, objPoints):
@@ -594,7 +618,8 @@ class StereoFTP:
                 res=tuple(rig.res1), roi=tuple(int(v) for v in roi),
                 gray_mode=gray_mode, debug=debug,
                 out_dtype=(None if out_dtype is None
-                           else np.dtype(out_dtype).name))
+                           else np.dtype(out_dtype).name),
+                row_inv=self._fringe_row_inv)
             if debug:
                 finalPoints, dbg = out
                 dbg = {kk: np.asarray(v) for kk, v in dbg.items()}
@@ -764,7 +789,8 @@ class StereoFTP:
             res=tuple(rig.res1), roi=tuple(int(v) for v in roi),
             gray_mode=self._GRAY_MODE,
             out_dtype=(None if out_dtype is None
-                       else np.dtype(out_dtype).name))
+                       else np.dtype(out_dtype).name),
+            row_inv=self._fringe_row_inv)
         return np.asarray(clouds,
                           np.float64 if out_dtype is None else None)
 

@@ -26,8 +26,105 @@ from .geometry import npgeom
 
 
 def _gather2d(img, yi, xi):
-    """img[(yi, xi)] with integer index arrays; img is (H, W) or (H, W, C)."""
-    return img[yi, xi]
+    """img[(yi, xi)] with integer index arrays; img is (H, W) or (H, W, C).
+
+    Lowered as a FLAT 1-D take of linearized indices: on real TPU a
+    (H, W)-indexed 2-D gather costs ~3.1 ms per 307k indices while the
+    same gather through a linear index costs ~2.2 ms (round-5 probe) —
+    a free ~1.4x on every remap. Indices are pre-clipped in-range by
+    every caller, so mode="clip" cannot change a value."""
+    H, W = img.shape[:2]
+    lin = yi * W + xi
+    if img.ndim == 3:
+        C = img.shape[2]
+        return jnp.take(img.reshape(-1, C), lin.reshape(-1), axis=0,
+                        mode="clip").reshape(lin.shape + (C,))
+    return jnp.take(img.reshape(-1), lin, mode="clip")
+
+
+def _cubic_weights(t):
+    """OpenCV bicubic kernel weights (a = -0.75) for taps at offsets
+    -1, 0, 1, 2 around the floor sample; ``t`` is the fractional part."""
+    a = -0.75
+    w0 = ((a * (t + 1) - 5 * a) * (t + 1) + 8 * a) * (t + 1) - 4 * a
+    w1 = ((a + 2) * t - (a + 3)) * t * t + 1
+    w2 = ((a + 2) * (1 - t) - (a + 3)) * (1 - t) * (1 - t) + 1
+    w3 = 1.0 - w0 - w1 - w2
+    return [w0, w1, w2, w3]
+
+
+def remap_row_invariant(image, mapx, mapy, interpolation="linear",
+                        border_value=0.0):
+    """:func:`remap` for a ROW-CONSTANT image (every row identical).
+
+    Semantically identical to ``remap(image, mapx, mapy, ...)`` when
+    ``image``'s rows are all equal, but samples a single padded ROW with
+    4 (cubic) / 2 (linear) / 1 (nearest) 1-D taps instead of 16/4/1 2-D
+    gathers, and folds the y-axis interpolation into a scalar
+    inside-the-image weight (interior rows all carry the same sampled
+    value; border rows carry ``border_value``). Motivation: the FTP
+    virtual-reference resample — fringe images are row-invariant by
+    construction (incl. the reference's committed fringe8.png) and the
+    16-tap 2-D cubic gather was ~50 ms of the fused program's ~51 ms
+    device time at 640x480 (benchmarks/ftp_stage_slope.py); this form
+    measures ~6.6 ms. Callers must verify row-invariance (host-side
+    ``np.array_equal`` against row 0) before choosing this path.
+    """
+    image = jnp.asarray(image)
+    in_dtype = image.dtype
+    if image.ndim != 2:
+        raise ValueError("remap_row_invariant expects a (H, W) image!")
+    H, W = image.shape
+    row = image[0].astype(jnp.float32)
+    x = jnp.asarray(mapx, jnp.float32)
+    y = jnp.asarray(mapy, jnp.float32)
+
+    if interpolation == "nearest":
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        out = jnp.where(inside,
+                        jnp.take(row, jnp.clip(xi, 0, W - 1), mode="clip"),
+                        border_value)
+    elif interpolation in ("linear", "cubic"):
+        pad = 1 if interpolation == "linear" else 2
+        rpad = jnp.pad(row, (pad, pad), constant_values=border_value)
+        lo = -float(pad)
+        xc = jnp.clip(x, lo, float(W) + pad - 1.0) + pad
+        yc = jnp.clip(y, lo, float(H) + pad - 1.0) + pad
+        x0 = jnp.floor(xc).astype(jnp.int32)
+        y0 = jnp.floor(yc).astype(jnp.int32)
+        fx = xc - x0
+        fy = yc - y0
+        Hp, Wp = H + 2 * pad, W + 2 * pad
+        if interpolation == "linear":
+            x1 = jnp.clip(x0 + 1, 0, Wp - 1)
+            x0c = jnp.clip(x0, 0, Wp - 1)
+            sx = (jnp.take(rpad, x0c, mode="clip") * (1 - fx)
+                  + jnp.take(rpad, x1, mode="clip") * fx)
+            wy = [1 - fy, fy]
+            rows = [y0, jnp.clip(y0 + 1, 0, Hp - 1)]
+        else:
+            wx = _cubic_weights(fx)
+            sx = 0.0
+            for j in range(4):
+                xj = jnp.clip(x0 + j - 1, 0, Wp - 1)
+                sx = sx + wx[j] * jnp.take(rpad, xj, mode="clip")
+            wy = _cubic_weights(fy)
+            rows = [jnp.clip(y0 + i - 1, 0, Hp - 1) for i in range(4)]
+        # y-axis: interior padded rows all equal sx; border rows are
+        # border_value — same accumulation order as remap's i-loop
+        out = 0.0
+        for wyi, ri in zip(wy, rows):
+            inside = (ri >= pad) & (ri <= Hp - 1 - pad)
+            out = out + wyi * jnp.where(inside, sx, border_value)
+    else:
+        raise ValueError(f"Unknown interpolation: {interpolation}")
+
+    if jnp.issubdtype(in_dtype, jnp.integer):
+        info = jnp.iinfo(in_dtype)
+        out = jnp.clip(jnp.round(out), info.min, info.max).astype(in_dtype)
+    return out
 
 
 def remap(image, mapx, mapy, interpolation="linear", border_value=0.0):
@@ -116,17 +213,8 @@ def remap(image, mapx, mapy, interpolation="linear", border_value=0.0):
         fx = xc - x0
         fy = yc - y0
 
-        def cubic_weights(t):
-            # OpenCV bicubic kernel, a = -0.75.
-            a = -0.75
-            w0 = ((a * (t + 1) - 5 * a) * (t + 1) + 8 * a) * (t + 1) - 4 * a
-            w1 = ((a + 2) * t - (a + 3)) * t * t + 1
-            w2 = ((a + 2) * (1 - t) - (a + 3)) * (1 - t) * (1 - t) + 1
-            w3 = 1.0 - w0 - w1 - w2
-            return [w0, w1, w2, w3]
-
-        wx = cubic_weights(fx)
-        wy = cubic_weights(fy)
+        wx = _cubic_weights(fx)
+        wy = _cubic_weights(fy)
         Hp, Wp = H + 2 * pad, W + 2 * pad
         out = 0.0
         for i in range(4):

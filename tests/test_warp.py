@@ -103,3 +103,38 @@ def test_map_coordinates_matches_scipy(rng):
                                           jnp.asarray(coords), order=1))
     ref = sp_map(img, coords, order=1)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+class TestRemapRowInvariant:
+    """warp.remap_row_invariant must match remap exactly on row-constant
+    images (it is the FTP virtual-reference fast path — round 5)."""
+
+    @pytest.mark.parametrize("interp", ["nearest", "linear", "cubic"])
+    def test_matches_remap_on_row_constant_image(self, rng, interp):
+        H, W = 37, 53
+        row = (rng.random(W) * 200 + 10).astype(np.float32)
+        img = jnp.asarray(np.tile(row[None, :], (H, 1)))
+        # maps cover interior, borders and far out-of-image
+        mapx = jnp.asarray(rng.uniform(-6, W + 6, (29, 41)), jnp.float32)
+        mapy = jnp.asarray(rng.uniform(-6, H + 6, (29, 41)), jnp.float32)
+        ref = np.asarray(warp.remap(img, mapx, mapy, interpolation=interp,
+                                    border_value=3.25))
+        fast = np.asarray(warp.remap_row_invariant(
+            img, mapx, mapy, interpolation=interp, border_value=3.25))
+        np.testing.assert_allclose(fast, ref, rtol=0, atol=1e-4)
+
+    def test_uint8_rounding_and_rejects_3d(self, rng):
+        H, W = 16, 24
+        row = rng.integers(0, 256, W, np.uint8)
+        img = jnp.asarray(np.tile(row[None, :], (H, 1)))
+        mapx = jnp.asarray(rng.uniform(0, W - 1, (H, W)), jnp.float32)
+        mapy = jnp.asarray(rng.uniform(0, H - 1, (H, W)), jnp.float32)
+        ref = np.asarray(warp.remap(img, mapx, mapy,
+                                    interpolation="cubic"))
+        fast = np.asarray(warp.remap_row_invariant(
+            img, mapx, mapy, interpolation="cubic"))
+        assert fast.dtype == np.uint8
+        # integer rounding can differ only where the float values tie
+        assert (fast.astype(int) - ref.astype(int) == 0).mean() > 0.999
+        with pytest.raises(ValueError):
+            warp.remap_row_invariant(jnp.zeros((4, 5, 3)), mapx, mapy)
