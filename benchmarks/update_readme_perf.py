@@ -136,8 +136,8 @@ def main():
     if "ftp_cloud_640x480_ms" in p:
         cell = (f"**{p['ftp_cloud_640x480_ms']:.0f} ms/frame** end-to-end "
                 f"incl. link ({p.get('ftp_cloud_mpix_per_s', 0):.2f} "
-                "Mpix/s; device+host compute ~63 ms — link-bound, see "
-                "SCALING.md stage table)")
+                "Mpix/s; device+host compute ~27 ms since the r5 virtual-"
+                "reference fast path — link-bound, see SCALING.md)")
         if "ftp_cloud_batch8_ms_per_frame" in p:
             cell += (f"; **{p['ftp_cloud_batch8_ms_per_frame']:.0f} "
                      "ms/frame** batched (`getCloudBatch`, dispatch paid "
