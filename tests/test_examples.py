@@ -30,6 +30,7 @@ CHEAP = [
 ]
 SLOW = [
     "202_streaming_pipeline.py",
+    "204_radiometric_auto_matching.py",  # 3 full GSW passes on Tsukuba
     "006_rectify_images.py",       # 720p remap compile
     "010_stereo_matching_tsukuba.py",   # ASW+SGM on Tsukuba (interpret)
     "011_build_3d_point_cloud.py",
