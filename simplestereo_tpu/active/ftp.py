@@ -79,7 +79,8 @@ def _projector_mapping_device(z, M, T, K2, dist2, fringe_gray, res,
         # the 16-tap 2-D gather, which was ~50 ms of the fused
         # program's ~51 ms device time at 640x480
         # (benchmarks/ftp_stage_slope.py). Identical semantics incl.
-        # y-border blending — warp.remap_row_invariant.
+        # y-border blending (f32-ulp agreement on hardware) —
+        # warp.remap_row_invariant.
         virtual_ref = warp.remap_row_invariant(fringe_gray, ui, vi,
                                                interpolation="cubic")
     else:

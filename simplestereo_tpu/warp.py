@@ -67,8 +67,11 @@ def remap_row_invariant(image, mapx, mapy, interpolation="linear",
     construction (incl. the reference's committed fringe8.png) and the
     16-tap 2-D cubic gather was ~50 ms of the fused program's ~51 ms
     device time at 640x480 (benchmarks/ftp_stage_slope.py); this form
-    measures ~6.6 ms. Callers must verify row-invariance (host-side
-    ``np.array_equal`` against row 0) before choosing this path.
+    measures ~6.6 ms. Agreement with :func:`remap` is f32-ulp level
+    (exact on the measured fringe values; 1-2 ulps worst case from XLA
+    fusion reassociation — TPU smoke test gates at rtol 1e-6). Callers
+    must verify row-invariance (host-side ``np.array_equal`` against
+    row 0) before choosing this path.
     """
     image = jnp.asarray(image)
     in_dtype = image.dtype

@@ -479,3 +479,41 @@ def test_phaseshift_procam_on_hardware(tpu_ok):
     rig = phaseShift(periods, tp.PROJ_RES, tp._phaseshift_sets(periods),
                      chessboardSize=tp.CB, squareSize=tp.SQ)
     tp._check_rig(rig)
+
+
+def test_remap_row_invariant_bitexact_on_hardware(tpu_ok, rng):
+    """Round 5: the FTP virtual-reference fast path
+    (warp.remap_row_invariant) vs the 2-D cubic remap on the real chip
+    for row-constant images. Gate at f32-ulp level: the two programs
+    share the source-level accumulation order but XLA fusion may
+    reassociate differently (measured: exact 0.0 on the real fringe
+    values, 1-2 ulps — rel 2e-7 — on random values)."""
+    import jax
+    import jax.numpy as jnp
+    from simplestereo_tpu import warp
+
+    row = (rng.random(160) * 200 + 10).astype(np.float32)
+    img = jnp.asarray(np.tile(row[None, :], (120, 1)))
+    mapx = jnp.asarray(rng.uniform(-6, 166, (96, 128)), jnp.float32)
+    mapy = jnp.asarray(rng.uniform(-6, 126, (96, 128)), jnp.float32)
+    for interp in ("nearest", "linear", "cubic"):
+        a = np.asarray(jax.jit(lambda i=interp: warp.remap(
+            img, mapx, mapy, interpolation=i))())
+        b = np.asarray(jax.jit(lambda i=interp: warp.remap_row_invariant(
+            img, mapx, mapy, interpolation=i))())
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-4)
+
+
+def test_ftp_fast_path_cloud_matches_2d_on_hardware(tpu_ok):
+    """Round 5: StereoFTP with the row-invariant virtual reference must
+    produce the same cloud as the forced 2-D gather path on hardware."""
+    _, ftp, cam, z0 = _tiny_ftp_scene()
+    assert ftp._fringe_row_inv
+    fast = ftp.getCloud(cam)
+    ftp2d = type(ftp)(ftp.stereoRig, ftp.fringe, 1.0 / ftp.fp,
+                      stripeColor="green")
+    ftp2d._fringe_row_inv = False
+    slow = ftp2d.getCloud(cam)
+    both = np.isfinite(fast[..., 2]) & np.isfinite(slow[..., 2])
+    assert both.mean() > 0.95
+    assert np.abs(fast[..., 2] - slow[..., 2])[both].max() < 1e-2
