@@ -138,3 +138,26 @@ class TestRemapRowInvariant:
         assert (fast.astype(int) - ref.astype(int) == 0).mean() > 0.999
         with pytest.raises(ValueError):
             warp.remap_row_invariant(jnp.zeros((4, 5, 3)), mapx, mapy)
+
+
+def test_remap_row_invariant_fuzz(rng):
+    """Property fuzz: random shapes (incl. degenerate widths), all
+    interpolations, random out-of-range maps — the fast path must track
+    remap on every row-constant image."""
+    for _ in range(12):
+        H = int(rng.integers(1, 40))
+        W = int(rng.integers(1, 60))
+        row = (rng.random(W) * 255).astype(np.float32)
+        img = jnp.asarray(np.tile(row[None, :], (H, 1)))
+        Ho = int(rng.integers(1, 30))
+        Wo = int(rng.integers(1, 30))
+        mapx = jnp.asarray(rng.uniform(-8, W + 8, (Ho, Wo)), jnp.float32)
+        mapy = jnp.asarray(rng.uniform(-8, H + 8, (Ho, Wo)), jnp.float32)
+        interp = ["nearest", "linear", "cubic"][int(rng.integers(3))]
+        bv = float(rng.uniform(0, 50))
+        ref = np.asarray(warp.remap(img, mapx, mapy, interpolation=interp,
+                                    border_value=bv))
+        fast = np.asarray(warp.remap_row_invariant(
+            img, mapx, mapy, interpolation=interp, border_value=bv))
+        np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-3,
+                                   err_msg=f"{H}x{W}->{Ho}x{Wo} {interp}")
