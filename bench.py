@@ -264,8 +264,6 @@ def _child():
         return {"disp_ms": round(d_s * 1e3, 2),
                 "mbps": [round(up, 1), round(dn, 1)]}
 
-    _last_probe = [None]
-
     def _nbytes(x):
         try:
             if isinstance(x, np.ndarray):
@@ -293,8 +291,14 @@ def _child():
         sentinels and byte counts; returns the median seconds.
 
         up_mb: host->device MB per call; defaults to the input size when
-        inputs are host numpy arrays (device-resident inputs upload 0)."""
-        pre = _last_probe[0] or probe()
+        inputs are host numpy arrays (device-resident inputs upload 0).
+
+        Probes are taken FRESH immediately before and after the timed
+        window (an earlier draft reused the previous stage's post-probe
+        as this stage's pre — stale across the untimed accuracy
+        evaluations and input-stack building that run between stages;
+        review finding)."""
+        pre = probe()
         out0 = np.asarray(fn(inputs[0]))  # compile+warm (never timed)
         ts = []
         for x in inputs[1:]:
@@ -302,7 +306,6 @@ def _child():
             np.asarray(fn(x))
             ts.append(time.perf_counter() - t0)
         post = probe()
-        _last_probe[0] = post
         med = float(np.median(ts))
         q1, q3 = np.percentile(ts, [25, 75])
         if up_mb is None:
@@ -474,7 +477,13 @@ def _child():
         errors.append(f"asw_720p: {e!r}")
 
     try:
-        if _RUN_720P and lawn_l is not None and not guard("sgm_720p"):
+        if _RUN_720P and not guard("sgm_720p"):
+            if lawn_l is None:
+                # the asw_720p stage failed or was budget-skipped before
+                # the lawn pair loaded; say so instead of silently
+                # dropping the flagship row from the record
+                raise RuntimeError(
+                    "lawn pair unavailable (asw_720p failed/skipped)")
             from simplestereo_tpu.passive.sgm import _sgm_disparity
 
             skw = dict(min_disp=0, num_disp=128, block_size=3, P1=36.0,

@@ -271,7 +271,7 @@ class GrayCode:
                                   self.num_patterns)
         px, py, valid = _decode_device(
             und, nx=self.nx, ny=self.ny, white_thr=self.white_thr,
-            res2=tuple(rig.res2), black_thr=int(self.black_thr),
+            res2=tuple(rig.res2), black_thr=float(self.black_thr),
             shadow=shadow)
         return tuple(map(np.asarray, (px, py, valid)))
 
@@ -309,7 +309,7 @@ class GrayCode:
             jnp.asarray(self.R_inv[:3, :3], jnp.float32),
             jnp.float32(rig.getBaseline()),
             nx=self.nx, ny=self.ny, white_thr=self.white_thr,
-            res2=tuple(rig.res2), black_thr=int(self.black_thr),
+            res2=tuple(rig.res2), black_thr=float(self.black_thr),
             shadow=shadow,
             roi=None if roi is None else tuple(int(v) for v in roi),
             out_dtype=(None if out_dtype is None
@@ -353,7 +353,7 @@ class GrayCodeDouble:
                                   self.num_patterns)
         px, py, valid = _decode_device(
             und, nx=self.nx, ny=self.ny, white_thr=self.white_thr,
-            res2=tuple(self.projRes), black_thr=int(self.black_thr),
+            res2=tuple(self.projRes), black_thr=float(self.black_thr),
             shadow=shadow)
         return tuple(map(np.asarray, (px, py, valid)))
 

@@ -307,9 +307,14 @@ def radiometric_divergence(img1, img2, bins=64):
     """
     a = np.asarray(img1, np.float64)
     b = np.asarray(img2, np.float64)
-    if a.ndim == 3:
+    # channel-average BGR(A) inputs of ANY leading shape — (H, W, 3)
+    # frames and (B, H, W, 3) batches alike. A (B, H, W) gray batch has
+    # no channel axis and must NOT be averaged over W (review finding:
+    # the old ndim==3 test histogrammed raw channel values for batches,
+    # detaching the probe from the calibrated threshold).
+    if a.ndim >= 3 and a.shape[-1] in (3, 4):
         a = a.mean(-1)
-    if b.ndim == 3:
+    if b.ndim >= 3 and b.shape[-1] in (3, 4):
         b = b.mean(-1)
     ha, _ = np.histogram(a, bins=bins, range=(0, 255))
     hb, _ = np.histogram(b, bins=bins, range=(0, 255))
@@ -319,11 +324,19 @@ def radiometric_divergence(img1, img2, bins=64):
 
 
 def resolve_cost_method(img1, img2, cost_method,
-                        threshold=MI_AUTO_THRESHOLD):
+                        threshold=MI_AUTO_THRESHOLD, step=1):
     """Resolve ``cost_method="auto"`` to "sd" or "mi" via the
-    radiometric-divergence probe; passes "sd"/"mi" through unchanged."""
+    radiometric-divergence probe; passes "sd"/"mi" through unchanged.
+
+    ``step > 1`` forces "sd" for auto without probing: MI does not
+    support the subsampled scan, and resolving to "mi" there would turn
+    a radiometric drift into a data-dependent ValueError mid-capture —
+    the exact condition auto exists to survive (an explicit
+    ``cost_method="mi"`` with step > 1 still raises)."""
     if cost_method != "auto":
         return cost_method
+    if step > 1:
+        return "sd"
     return ("mi" if radiometric_divergence(img1, img2) > threshold
             else "sd")
 
@@ -386,7 +399,7 @@ def gsw_disparity(img1, img2, win_size=11, max_disp=16, min_disp=0,
         raise ValueError("step must be >= 1!")
     # the probe is host-side numpy; device-resident inputs pay one
     # frame readback here (auto only)
-    cost_method = resolve_cost_method(img1, img2, cost_method)
+    cost_method = resolve_cost_method(img1, img2, cost_method, step=step)
     if step > 1 and cost_method == "mi":
         raise ValueError("step > 1 requires cost_method='sd'!")
     if cost_method == "mi" and mi_iterations < 1:
@@ -504,7 +517,8 @@ class StereoGSW:
             raise ValueError(
                 "Images must be 3-channel BGR with identical shapes!")
         self.lastCostMethod = resolve_cost_method(img1, img2,
-                                                  self.costMethod)
+                                                  self.costMethod,
+                                                  step=self.step)
         return np.asarray(gsw_disparity(
             img1, img2, win_size=self.winSize,
             max_disp=self.maxDisparity, min_disp=self.minDisparity,
@@ -533,7 +547,8 @@ class StereoGSW:
                 "Batches must be (B, H, W, 3) BGR with identical shapes!")
         # auto: one probe over the whole batch (a capture batch shares
         # its cameras, hence its radiometry)
-        cost_method = resolve_cost_method(imgs1, imgs2, self.costMethod)
+        cost_method = resolve_cost_method(imgs1, imgs2, self.costMethod,
+                                          step=self.step)
         self.lastCostMethod = cost_method
         pallas_able = cost_method == "sd" or self.step == 1
         if pallas_able and (self.engine == "pallas" or (

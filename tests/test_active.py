@@ -650,3 +650,23 @@ def test_graycode_random_geometries(rng):
         quant = z0 * z0 / (B * f)   # depth per projector-pixel disparity
         zerr = np.abs(pts[:, 2] - z0)
         assert np.median(zerr) < 0.5 * quant, f"trial {trial}"
+
+
+def test_graycode_float_black_threshold_not_truncated():
+    """Review regression: a float black_thr (e.g. 40.5) must be honored
+    by the shadow mask, not silently truncated to int (a white-black
+    difference of 40.3 must stay shadowed)."""
+    rig = _make_rig()
+    gc = GrayCode(rig, black_thr=40.5)
+    pats, nx, ny = graycode_patterns(rig.res2)
+    caps = [p for p in pats]
+    h, w = pats.shape[1:]
+    black = np.zeros((h, w), np.float32)
+    white = np.full((h, w), 40.3, np.float32)
+    _, _, valid = gc.decode([c.astype(np.float32) for c in caps],
+                            black=black, white=white)
+    assert not valid.any()  # 40.3 > 40.5 is False everywhere
+    white2 = np.full((h, w), 40.7, np.float32)
+    _, _, valid2 = gc.decode([c.astype(np.float32) for c in caps],
+                             black=black, white=white2)
+    assert valid2.all()

@@ -110,7 +110,9 @@ def test_real_compact_line_under_driver_cap(bench):
     if not cands:
         pytest.skip("no full sidecar yet")
     # reconstruct the compact line the way bench does and check the cap
-    d = json.load(open(os.path.join(full, sorted(cands)[-1])))
+    # (numeric round sort — lexicographic ranks r09 over r10)
+    latest = sorted(cands, key=bench._round_no)[-1]
+    d = json.load(open(os.path.join(full, latest)))
     stats = d.get("stats", {})
     compact = {
         "metric": d.get("metric"), "value": d.get("value"),

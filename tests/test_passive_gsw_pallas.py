@@ -338,3 +338,37 @@ class TestCostMethodAuto:
 
         with pytest.raises(ValueError, match="costMethod"):
             StereoGSW(costMethod="nope")
+
+    def test_auto_batch_probe_matches_single_frame_probe(self):
+        """Review regression: the batch probe must histogram per-pixel
+        GRAY means exactly like the single-frame probe — an all-green vs
+        all-gray pair has identical gray distributions (EMD 0) and must
+        resolve 'sd' from both entry points."""
+        from simplestereo_tpu.passive.gsw import (
+            radiometric_divergence, resolve_cost_method)
+
+        g = np.zeros((12, 24, 3), np.uint8)
+        g[..., 1] = 255  # pure green, gray mean 85
+        h = np.full((12, 24, 3), 85, np.uint8)  # gray, same mean
+        assert radiometric_divergence(g, h) < 4.0
+        assert radiometric_divergence(g[None], h[None]) \
+            == radiometric_divergence(g, h)
+        assert resolve_cost_method(g[None], h[None], "auto") == "sd"
+
+    def test_auto_with_step_never_resolves_mi(self, rng):
+        """Review regression: auto + step>1 must fall back to 'sd' even
+        on a radiometrically mismatched pair (resolving 'mi' there was a
+        data-dependent ValueError mid-capture)."""
+        from simplestereo_tpu.passive import StereoGSW
+
+        img1 = rng.integers(0, 256, (16, 40, 3), np.uint8)
+        img2 = np.clip(255.0 * (np.roll(img1, -2, axis=1) / 255.0) ** 0.5,
+                       0, 255).astype(np.uint8)
+        m = StereoGSW(winSize=5, maxDisparity=4, costMethod="auto",
+                      step=2, engine="xla")
+        m.compute(img1, img2)  # must not raise
+        assert m.lastCostMethod == "sd"
+        with pytest.raises(ValueError, match="step"):  # explicit mi still rejected
+            from simplestereo_tpu.passive.gsw import gsw_disparity
+            gsw_disparity(img1, img2, win_size=5, max_disp=4,
+                          cost_method="mi", step=2, engine="xla")
